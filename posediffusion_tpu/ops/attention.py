@@ -1,0 +1,129 @@
+"""Fused multi-head attention with a Pallas TPU kernel.
+
+The denoiser trunk attends over frame tokens (N <= ~64) and the ViT backbone
+over patch tokens (N <= ~260), so a full-score-matrix kernel is the right
+shape: one grid cell per (batch, head), scores kept entirely in VMEM, a
+single softmax pass, both matmuls on the MXU.  No HBM round-trip for the
+(N, N) score matrix, which is what the XLA fallback would materialize.
+
+Replaces the cuDNN attention inside torch.nn.TransformerEncoder /
+the DINO ViT blocks (reference: pose_diffusion/models/denoiser.py:88-97,
+SURVEY.md N5/N6).
+
+The public entry ``mha_attention`` takes (B, H, N, Dh) tensors and an
+optional (B, N) key validity mask, and dispatches to the kernel on TPU or a
+jnp reference path elsewhere (CPU tests, autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
+    """One (batch, head) cell: out = softmax(q k^T * scale + mask) v."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale + mask_ref[0, 0][None, :]
+
+    scores_max = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.exp(scores - scores_max)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+    probs = unnorm / denom
+
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_attention(q, k, v, mask_bias, interpret=False):
+    B, H, N, Dh = q.shape
+    grid = (B, H)
+    kernel = functools.partial(_attention_kernel, scale=1.0 / (Dh**0.5))
+    # Mask is (B, 1, N): the trailing (1, N) block equals the full array dims,
+    # satisfying the Mosaic tiling rule for non-128-aligned N.
+    mask_bias = mask_bias[:, None, :]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, Dh), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(q, k, v, mask_bias)
+
+
+def _reference_attention(q, k, v, mask_bias):
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = scores + mask_bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v).astype(q.dtype)
+
+
+def mha_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention over (B, H, N, Dh) tensors.
+
+    Args:
+        mask: optional (B, N) bool/0-1 key validity mask (True = attend).
+        impl: "auto" (Pallas on TPU, jnp elsewhere), "pallas", "xla", or
+            "interpret" (Pallas interpreter, for CPU tests of the kernel).
+    """
+    B, H, N, Dh = q.shape
+    if mask is None:
+        mask_bias = jnp.zeros((B, N), jnp.float32)
+    else:
+        mask_bias = jnp.where(mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
+
+    if impl == "auto":
+        platform = jax.devices()[0].platform
+        impl = "xla" if platform == "cpu" else "pallas"
+
+    if impl == "xla":
+        return _reference_attention(q, k, v, mask_bias)
+
+    # Pad N to the f32 sublane multiple so the kernel tiles cleanly; padded
+    # keys are masked out, padded queries are sliced off.
+    N_pad = _round_up(max(N, 8), 8)
+    if N_pad != N:
+        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        mask_bias = jnp.pad(mask_bias, [(0, 0), (0, N_pad - N)], constant_values=_NEG_INF)
+
+    out = _pallas_attention(q, k, v, mask_bias, interpret=(impl == "interpret"))
+    return out[:, :, :N, :]

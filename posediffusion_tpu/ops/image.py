@@ -1,0 +1,52 @@
+"""Device-side image preprocessing ops.
+
+The reference does ImageNet normalization and bilinear multi-scale resize on
+GPU through torch (reference: models/image_feature_extractor.py:24-25, 85-87;
+util/load_img_folder.py:33-38).  Here they are jnp ops that fuse into the
+feature-extractor XLA program, so the host only ships uint8/float32 frames.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def imagenet_normalize(images: jnp.ndarray) -> jnp.ndarray:
+    """Normalize (..., 3, H, W) float images in [0, 1] with ImageNet stats."""
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype).reshape(3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD, images.dtype).reshape(3, 1, 1)
+    return (images - mean) / std
+
+
+def resize_bilinear(images: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (..., 3, H, W) images to (..., 3, h, w).
+
+    ``jax.image.resize(method="linear")`` matches torch
+    ``F.interpolate(mode="bilinear", align_corners=False)`` (half-pixel
+    centers), which the reference uses for both the multiscale pyramid and
+    demo-time preprocessing.
+    """
+    out_shape = images.shape[:-2] + tuple(size_hw)
+    # antialias=False matches torch's plain bilinear (no filtering) semantics.
+    return jax.image.resize(images, out_shape, method="linear", antialias=False)
+
+
+def scale_size(side: int, scale_factor: float) -> int:
+    """Torch's floor semantics for ``F.interpolate(scale_factor=...)``."""
+    return int(side * scale_factor)
+
+
+def center_crop_square(image_hw3: jnp.ndarray) -> jnp.ndarray:
+    """Center square crop of an (H, W, C) image (host-side helper twin lives
+    in data/images.py for PIL inputs)."""
+    h, w = image_hw3.shape[:2]
+    m = min(h, w)
+    top = (h - m) // 2
+    left = (w - m) // 2
+    return image_hw3[top : top + m, left : left + m]
