@@ -1,0 +1,185 @@
+"""DDPM forward/reverse process as pure functions.
+
+Replaces the reference ``GaussianDiffusion`` module
+(reference: pose_diffusion/models/gaussian_diffuser.py:189-341) with
+functional JAX: the training loss is one jittable function, and ancestral
+sampling is a single ``jax.lax.scan`` over timesteps — the whole 100-step
+reverse process compiles into one XLA program (no per-step Python dispatch,
+which is where the reference's 0.8 s GPU latency comes from).
+
+``model_fn(x, t, key) -> model_out`` abstracts the denoiser; conditioning
+features z are closed over by the caller.  The GGS hook slots in as
+``cond_fn(mean, t) -> mean`` applied to the posterior mean with noise zeroed
+for steps t < cond_start_step (reference: gaussian_diffuser.py:270-280).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from posediffusion_tpu.diffusion.schedule import DiffusionSchedule, extract
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x, t) -> out
+CondFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (mean, t) -> mean
+
+
+class DiffusionLoss(NamedTuple):
+    loss: jnp.ndarray  # unreduced, same shape as x
+    noise: jnp.ndarray
+    x_0_pred: jnp.ndarray
+    x_t: jnp.ndarray
+    t: jnp.ndarray
+
+
+def q_sample(
+    schedule: DiffusionSchedule, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray
+) -> jnp.ndarray:
+    """Forward diffusion: x_t = sqrt(acp_t) x_0 + sqrt(1 - acp_t) eps."""
+    nd = x_start.ndim
+    return (
+        extract(schedule.sqrt_alphas_cumprod, t, nd) * x_start
+        + extract(schedule.sqrt_one_minus_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_start_from_noise(schedule, x_t, t, noise):
+    nd = x_t.ndim
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, nd) * x_t
+        - extract(schedule.sqrt_recipm1_alphas_cumprod, t, nd) * noise
+    )
+
+
+def predict_noise_from_start(schedule, x_t, t, x0):
+    nd = x_t.ndim
+    return (
+        extract(schedule.sqrt_recip_alphas_cumprod, t, nd) * x_t - x0
+    ) / extract(schedule.sqrt_recipm1_alphas_cumprod, t, nd)
+
+
+def q_posterior(
+    schedule, x_start, x_t, t
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Posterior q(x_{t-1} | x_t, x_0): (mean, variance, clipped log variance)."""
+    nd = x_t.ndim
+    mean = (
+        extract(schedule.posterior_mean_coef1, t, nd) * x_start
+        + extract(schedule.posterior_mean_coef2, t, nd) * x_t
+    )
+    variance = extract(schedule.posterior_variance, t, nd)
+    log_variance = extract(schedule.posterior_log_variance_clipped, t, nd)
+    return mean, variance, log_variance
+
+
+def p_losses(
+    schedule: DiffusionSchedule,
+    model_fn: ModelFn,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+    objective: str = "pred_noise",
+    loss_type: str = "l1",
+) -> DiffusionLoss:
+    """Training loss (unreduced, reference: gaussian_diffuser.py:308-327)."""
+    x = q_sample(schedule, x_start, t, noise)
+    model_out = model_fn(x, t)
+
+    if objective == "pred_noise":
+        target = noise
+        x_0_pred = predict_start_from_noise(schedule, x, t, model_out)
+    elif objective == "pred_x0":
+        target = x_start
+        x_0_pred = model_out
+    else:
+        raise ValueError(f"unknown objective {objective}")
+
+    if loss_type == "l1":
+        loss = jnp.abs(model_out - target)
+    elif loss_type == "l2":
+        loss = jnp.square(model_out - target)
+    else:
+        raise ValueError(f"invalid loss type {loss_type}")
+
+    return DiffusionLoss(loss=loss, noise=noise, x_0_pred=x_0_pred, x_t=x, t=t)
+
+
+def p_mean_variance(
+    schedule: DiffusionSchedule,
+    model_fn: ModelFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    objective: str = "pred_noise",
+):
+    """One reverse step's posterior parameters from the denoiser output."""
+    model_out = model_fn(x, t)
+    if objective == "pred_noise":
+        x_start = predict_start_from_noise(schedule, x, t, model_out)
+    elif objective == "pred_x0":
+        x_start = model_out
+    else:
+        raise ValueError(f"unknown objective {objective}")
+    mean, variance, log_variance = q_posterior(schedule, x_start, x, t)
+    return mean, variance, log_variance, x_start
+
+
+def p_sample_loop(
+    schedule: DiffusionSchedule,
+    model_fn: ModelFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    cond_fn: Optional[CondFn] = None,
+    cond_start_step: int = 0,
+    objective: str = "pred_noise",
+    return_trajectory: bool = False,
+):
+    """Ancestral sampling as ``lax.scan`` over t = T-1 .. 0.
+
+    Two scans with static lengths: an unconditioned phase for
+    t in [cond_start_step, T) and a conditioned phase for t < cond_start_step
+    where the posterior mean passes through ``cond_fn`` and the noise is
+    zeroed (reference: gaussian_diffuser.py:270-280).  The expensive cond_fn
+    (GGS's inner SGD) therefore only appears in the program for the steps
+    that actually use it.
+    """
+    T = schedule.num_timesteps
+    B = shape[0]
+    key, init_key = jax.random.split(key)
+    x0 = jax.random.normal(init_key, shape)
+
+    def step(carry, t, conditioned: bool):
+        x, key = carry
+        key, noise_key = jax.random.split(key)
+        t_b = jnp.full((B,), t, jnp.int32)
+        mean, _, log_var, _ = p_mean_variance(schedule, model_fn, x, t_b, objective)
+        if conditioned and cond_fn is not None:
+            mean = cond_fn(mean, t)
+            noise = jnp.zeros_like(x)
+        else:
+            noise = jax.random.normal(noise_key, x.shape)
+            noise = jnp.where(t > 0, noise, 0.0)
+        x = mean + jnp.exp(0.5 * log_var) * noise
+        return (x, key), (x if return_trajectory else None)
+
+    n_cond = min(max(cond_start_step, 0), T) if cond_fn is not None else 0
+
+    ts_uncond = jnp.arange(T - 1, n_cond - 1, -1)
+    (x, key), traj_u = jax.lax.scan(
+        lambda c, t: step(c, t, False), (x0, key), ts_uncond
+    )
+
+    traj_c = None
+    if n_cond > 0:
+        ts_cond = jnp.arange(n_cond - 1, -1, -1)
+        (x, key), traj_c = jax.lax.scan(
+            lambda c, t: step(c, t, True), (x, key), ts_cond
+        )
+
+    if return_trajectory:
+        parts = [x0[None], traj_u]
+        if traj_c is not None:
+            parts.append(traj_c)
+        return x, jnp.concatenate(parts, axis=0)
+    return x, None

@@ -110,4 +110,7 @@ def sampson_distance(
         + jnp.square(right[:, 0])
         + jnp.square(right[:, 1])
     )
-    return top / bottom
+    # Guard against the degenerate F = 0 case (e.g. padded matches gathered
+    # from a self-pair): 0/0 would NaN the *gradient* even when the value is
+    # masked downstream.  Real matches have bottom >> 1e-12, so this is inert.
+    return top / jnp.maximum(bottom, 1e-12)

@@ -1,0 +1,53 @@
+"""Multi-scale image feature extractor.
+
+Replaces the reference extractor
+(pose_diffusion/models/image_feature_extractor.py:28-87): ImageNet-normalize,
+run the ViT backbone at scale factors [1, 1/2, 1/3] (bilinear resize with
+torch floor-size semantics) and average the CLS features.  All three scales
+trace into one XLA program; the resizes fuse with the normalize.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from posediffusion_tpu.models.vit import VisionTransformer, vit_small
+from posediffusion_tpu.ops.image import imagenet_normalize, resize_bilinear, scale_size
+
+
+class MultiScaleImageFeatureExtractor(nn.Module):
+    scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3)
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+
+    @property
+    def output_dim(self) -> int:
+        return self.embed_dim
+
+    @nn.compact
+    def __call__(self, images_nchw: jnp.ndarray) -> jnp.ndarray:
+        """(B, 3, H, W) float images in [0, 1] -> (B, embed_dim) features."""
+        net = VisionTransformer(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            name="net",
+        )
+        img = imagenet_normalize(images_nchw)
+        h, w = img.shape[-2:]
+
+        total = None
+        for s in self.scale_factors:
+            if s == 1:
+                inp = img
+            else:
+                inp = resize_bilinear(img, (scale_size(h, s), scale_size(w, s)))
+            feat = net(inp)
+            total = feat if total is None else total + feat
+        return total / len(self.scale_factors)

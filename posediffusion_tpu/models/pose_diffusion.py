@@ -1,0 +1,188 @@
+"""PoseDiffusion composition root.
+
+Replaces the reference ``PoseDiffusionModel``
+(pose_diffusion/models/pose_diffusion_model.py:35-142).  Unlike the torch
+version — a stateful nn.Module whose sampler loops in Python — this is a
+thin orchestrator over pure functions: the Flax module definitions
+(extractor + denoiser) and the diffusion schedule are static, parameters are
+an explicit pytree, and both the training loss and the full 100-step sampler
+are single jittable programs.
+
+Train path (reference :109-130):
+    z = extractor(images)                      # (B, N, 384)
+    enc = camera_to_pose_encoding(gt_cameras)  # done by the caller/dataset
+    [batch_repeat: tile enc and z 'repeat' times to amortize the ViT]
+    t ~ U[0, T); loss = L1(eps_hat, eps) unreduced
+
+Sample path (reference :131-140):
+    z = extractor(images); p_sample_loop (lax.scan) -> pose encodings
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from posediffusion_tpu.diffusion.gaussian import DiffusionLoss, p_losses, p_sample_loop
+from posediffusion_tpu.diffusion.schedule import DiffusionSchedule, make_schedule
+from posediffusion_tpu.models.denoiser import Denoiser
+from posediffusion_tpu.models.feature_extractor import MultiScaleImageFeatureExtractor
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseDiffusionConfig:
+    pose_encoding_type: str = "absT_quaR_logFL"
+    target_dim: int = 9
+    z_dim: int = 384
+    # denoiser / transformer (reference: cfgs/default.yaml:26-34)
+    d_model: int = 512
+    nhead: int = 4
+    num_encoder_layers: int = 8
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    mlp_hidden_dim: int = 128
+    pivot_cam_onehot: bool = True
+    # backbone
+    vit_depth: int = 12
+    vit_heads: int = 6
+    patch_size: int = 16
+    scale_factors: Tuple[float, ...] = (1.0, 1.0 / 2, 1.0 / 3)
+    # diffusion (reference: cfgs/default.yaml:37-40)
+    timesteps: int = 100
+    beta_1: float = 1e-4
+    beta_T: float = 0.1
+    beta_schedule: str = "custom"
+    objective: str = "pred_noise"
+    loss_type: str = "l1"
+
+
+class PoseDiffusionModel:
+    """Module definitions + schedule; parameters are explicit pytrees."""
+
+    def __init__(self, config: PoseDiffusionConfig = PoseDiffusionConfig()):
+        self.config = config
+        self.extractor = MultiScaleImageFeatureExtractor(
+            scale_factors=config.scale_factors,
+            patch_size=config.patch_size,
+            embed_dim=config.z_dim,
+            depth=config.vit_depth,
+            num_heads=config.vit_heads,
+        )
+        self.denoiser = Denoiser(
+            target_dim=config.target_dim,
+            pivot_cam_onehot=config.pivot_cam_onehot,
+            z_dim=config.z_dim,
+            mlp_hidden_dim=config.mlp_hidden_dim,
+            d_model=config.d_model,
+            nhead=config.nhead,
+            num_encoder_layers=config.num_encoder_layers,
+            dim_feedforward=config.dim_feedforward,
+            dropout=config.dropout,
+        )
+        self.schedule: DiffusionSchedule = make_schedule(
+            timesteps=config.timesteps,
+            beta_1=config.beta_1,
+            beta_T=config.beta_T,
+            beta_schedule=config.beta_schedule,
+        )
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: jax.Array, image_hw: Tuple[int, int] = (224, 224)):
+        """Initialize parameters with tiny dummy shapes."""
+        k1, k2 = jax.random.split(key)
+        c = self.config
+        ext_params = self.extractor.init(k1, jnp.zeros((1, 3, *image_hw)))
+        den_params = self.denoiser.init(
+            k2,
+            jnp.zeros((1, 2, c.target_dim)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 2, c.z_dim)),
+        )
+        return {"extractor": ext_params, "denoiser": den_params}
+
+    # -------------------------------------------------------------- features
+    def extract_features(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT."""
+        B, N = images.shape[:2]
+        flat = images.reshape(B * N, *images.shape[2:])
+        z = self.extractor.apply(params["extractor"], flat)
+        return z.reshape(B, N, -1)
+
+    # ------------------------------------------------------------------ loss
+    def loss(
+        self,
+        params,
+        images: jnp.ndarray,  # (B, N, 3, H, W)
+        pose_encodings: jnp.ndarray,  # (B, N, target_dim) GT encodings
+        key: jax.Array,
+        batch_repeat: int = 0,
+        mask: Optional[jnp.ndarray] = None,  # (B, N) frame validity
+        train: bool = True,
+    ) -> DiffusionLoss:
+        """Diffusion training loss (unreduced over (B', N, 9))."""
+        z = self.extract_features(params, images)
+
+        if batch_repeat > 0:
+            pose_encodings = jnp.tile(pose_encodings, (batch_repeat, 1, 1))
+            z = jnp.tile(z, (batch_repeat, 1, 1))
+            if mask is not None:
+                mask = jnp.tile(mask, (batch_repeat, 1))
+
+        B = pose_encodings.shape[0]
+        key_t, key_noise, key_drop = jax.random.split(key, 3)
+        t = jax.random.randint(key_t, (B,), 0, self.schedule.num_timesteps)
+        noise = jax.random.normal(key_noise, pose_encodings.shape)
+
+        def model_fn(x, tt):
+            variables = params["denoiser"]
+            if train:
+                return self.denoiser.apply(
+                    variables, x, tt, z, mask=mask, deterministic=False,
+                    rngs={"dropout": key_drop},
+                )
+            return self.denoiser.apply(variables, x, tt, z, mask=mask)
+
+        out = p_losses(
+            self.schedule,
+            model_fn,
+            pose_encodings,
+            t,
+            noise,
+            objective=self.config.objective,
+            loss_type=self.config.loss_type,
+        )
+        if mask is not None:
+            out = out._replace(loss=out.loss * mask[..., None])
+        return out
+
+    # ---------------------------------------------------------------- sample
+    def sample(
+        self,
+        params,
+        images: jnp.ndarray,  # (B, N, 3, H, W)
+        key: jax.Array,
+        cond_fn=None,
+        cond_start_step: int = 0,
+        mask: Optional[jnp.ndarray] = None,
+        return_trajectory: bool = False,
+    ):
+        """Run the reverse process; returns (pose_encodings (B, N, 9), traj)."""
+        z = self.extract_features(params, images)
+        B, N = z.shape[:2]
+
+        def model_fn(x, tt):
+            return self.denoiser.apply(params["denoiser"], x, tt, z, mask=mask)
+
+        return p_sample_loop(
+            self.schedule,
+            model_fn,
+            (B, N, self.config.target_dim),
+            key,
+            cond_fn=cond_fn,
+            cond_start_step=cond_start_step,
+            objective=self.config.objective,
+            return_trajectory=return_trajectory,
+        )

@@ -1,0 +1,148 @@
+"""DINO-compatible ViT backbone (ViT-S/16 by default) in Flax.
+
+Replaces the torch.hub DINO backbone the reference loads
+(reference: pose_diffusion/models/image_feature_extractor.py:41-43;
+SURVEY.md N5).  Architecture parity with facebookresearch/dino's
+``vit_small(patch_size=16)``:
+
+* Conv patch embed (16x16, stride 16) -> 384 dims, CLS token, learned
+  absolute position embeddings with **bicubic interpolation** for non-224
+  inputs (the multiscale extractor feeds 1, 1/2, 1/3 scales),
+* 12 pre-norm blocks: LN(eps 1e-6) -> packed-QKV attention (6 heads) ->
+  LN -> MLP(4x, exact GELU),
+* final LN; the forward feature is the CLS token.
+
+Attention dispatches through the fused Pallas kernel on TPU.  Note:
+torch's bicubic uses the Keys kernel with a=-0.75 while jax.image uses
+a=-0.5; the position-embedding field is smooth so the difference is ~1e-3
+feature-level — validated statistically rather than bitwise (SURVEY.md
+"randomness parity").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from posediffusion_tpu.ops.attention import mha_attention
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        Dh = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(a):
+            return a.reshape(B, N, self.num_heads, Dh).transpose(0, 2, 1, 3)
+
+        out = mha_attention(heads(q), heads(k), heads(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class ViTMlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU is the exact erf form
+        return nn.Dense(self.out_dim, name="fc2")(x)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + ViTAttention(self.dim, self.num_heads, name="attn")(
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        )
+        x = x + ViTMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        )
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """DINO-style ViT. Input NCHW float images; output CLS feature (B, dim)."""
+
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    pos_grid: int = 14  # pos_embed trained at 224/16 = 14x14 patches
+
+    def interpolate_pos_encoding(self, pos_embed: jnp.ndarray, h0: int, w0: int):
+        """Bicubic-resample the patch position grid to (h0, w0)
+        (DINO vision_transformer.interpolate_pos_encoding)."""
+        cls_pos = pos_embed[:, :1]
+        patch_pos = pos_embed[:, 1:]
+        g = self.pos_grid
+        if h0 == g and w0 == g:
+            return pos_embed
+        patch_pos = patch_pos.reshape(1, g, g, self.embed_dim)
+        patch_pos = jax.image.resize(
+            patch_pos, (1, h0, w0, self.embed_dim), method="cubic", antialias=False
+        )
+        patch_pos = patch_pos.reshape(1, h0 * w0, self.embed_dim)
+        return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+    @nn.compact
+    def __call__(self, images_nchw: jnp.ndarray) -> jnp.ndarray:
+        B = images_nchw.shape[0]
+        x = images_nchw.transpose(0, 2, 3, 1)  # NHWC for the conv
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )(x)
+        _, h0, w0, _ = x.shape
+        x = x.reshape(B, h0 * w0, self.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, self.embed_dim)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1 + self.pos_grid**2, self.embed_dim),
+        )
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x], axis=1)
+        x = x + self.interpolate_pos_encoding(pos_embed, h0, w0)
+
+        for i in range(self.depth):
+            x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio, name=f"blocks_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[:, 0]
+
+
+def vit_small(patch_size: int = 16) -> VisionTransformer:
+    return VisionTransformer(
+        patch_size=patch_size, embed_dim=384, depth=12, num_heads=6
+    )
+
+
+def vit_base(patch_size: int = 16) -> VisionTransformer:
+    return VisionTransformer(
+        patch_size=patch_size, embed_dim=768, depth=12, num_heads=12
+    )

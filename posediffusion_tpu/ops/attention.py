@@ -88,6 +88,53 @@ def _reference_attention(q, k, v, mask_bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v).astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_dispatch(q, k, v, mask_bias, impl):
+    if impl == "xla":
+        return _reference_attention(q, k, v, mask_bias)
+
+    # Pad N to the f32 sublane multiple so the kernel tiles cleanly; padded
+    # keys are masked out, padded queries are sliced off.
+    N = q.shape[2]
+    N_pad = _round_up(max(N, 8), 8)
+    if N_pad != N:
+        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        mask_bias = jnp.pad(
+            mask_bias, [(0, 0), (0, N_pad - N)], constant_values=_NEG_INF
+        )
+    out = _pallas_attention(q, k, v, mask_bias, interpret=(impl == "interpret"))
+    return out[:, :, :N, :]
+
+
+def _attention_fwd(q, k, v, mask_bias, impl):
+    return _attention_dispatch(q, k, v, mask_bias, impl), (q, k, v, mask_bias)
+
+
+def _attention_bwd(impl, residuals, g):
+    """Exact attention backward via XLA (recompute probs).  The Pallas kernel
+    serves the forward; for the small N in this model the recompute-based
+    backward is matmul-bound and fuses well, so a hand-written backward
+    kernel would not move the needle."""
+    q, k, v, mask_bias = residuals
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    scores = scores + mask_bias[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv, jnp.zeros_like(mask_bias)
+
+
+_attention_dispatch.defvjp(_attention_fwd, _attention_bwd)
+
+
 def mha_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -112,18 +159,4 @@ def mha_attention(
         platform = jax.devices()[0].platform
         impl = "xla" if platform == "cpu" else "pallas"
 
-    if impl == "xla":
-        return _reference_attention(q, k, v, mask_bias)
-
-    # Pad N to the f32 sublane multiple so the kernel tiles cleanly; padded
-    # keys are masked out, padded queries are sliced off.
-    N_pad = _round_up(max(N, 8), 8)
-    if N_pad != N:
-        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-        mask_bias = jnp.pad(mask_bias, [(0, 0), (0, N_pad - N)], constant_values=_NEG_INF)
-
-    out = _pallas_attention(q, k, v, mask_bias, interpret=(impl == "interpret"))
-    return out[:, :, :N, :]
+    return _attention_dispatch(q, k, v, mask_bias, impl)

@@ -124,6 +124,27 @@ class TestAttention:
             np.asarray(out_masked[:, :, :5]), np.asarray(out_trunc), atol=1e-5
         )
 
+    def test_custom_vjp_matches_autodiff(self, rng):
+        """Gradients through the kernel dispatch (custom VJP) must equal
+        autodiff through the plain XLA formulation."""
+        q, k, v = self._rand_qkv(rng, B=1, H=2, N=9, Dh=8)
+        mask = jnp.asarray(rng.uniform(size=(1, 9)) > 0.3).at[:, 0].set(True)
+
+        from posediffusion_tpu.ops.attention import _reference_attention
+
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+
+        def f_auto(q, k, v):  # plain autodiff baseline (no custom VJP)
+            return jnp.sum(_reference_attention(q, k, v, bias) ** 2)
+
+        def f_custom(q, k, v):  # custom VJP path via the public entry
+            return jnp.sum(mha_attention(q, k, v, mask=mask, impl="interpret") ** 2)
+
+        g_auto = jax.grad(f_auto, argnums=(0, 1, 2))(q, k, v)
+        g_custom = jax.grad(f_custom, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_auto, g_custom):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
     def test_mask_pallas_interpret(self, rng):
         q, k, v = self._rand_qkv(rng, B=2, N=16)
         mask = jnp.asarray(rng.uniform(size=(2, 16)) > 0.3)
