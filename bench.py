@@ -1,0 +1,67 @@
+"""Benchmark: 20-frame pose inference (no GGS) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's ~0.8 s for the same workload on a Quadro GP100
+(reference README.md:45; BASELINE.md).  vs_baseline = value / baseline, so
+< 1.0 means faster than the reference.
+
+The workload is the full demo-path inference: 20 frames at 224px through the
+multiscale DINO ViT-S/16 extractor + 100-step DDPM sampling with the 8-layer
+denoiser, all inside one jitted program.  Weights are randomly initialized —
+latency is weight-independent.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SECONDS = 0.8
+N_FRAMES = 20
+IMAGE_SIZE = 224
+WARMUP = 2
+REPEATS = 5
+
+
+def main():
+    from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
+
+    model = PoseDiffusionModel(PoseDiffusionConfig())
+    params = model.init(jax.random.PRNGKey(0), image_hw=(IMAGE_SIZE, IMAGE_SIZE))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(size=(1, N_FRAMES, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
+    )
+
+    @jax.jit
+    def infer(params, images, key):
+        enc, _ = model.sample(params, images, key)
+        return enc
+
+    for i in range(WARMUP):
+        infer(params, images, jax.random.PRNGKey(i)).block_until_ready()
+
+    times = []
+    for i in range(REPEATS):
+        t0 = time.perf_counter()
+        infer(params, images, jax.random.PRNGKey(100 + i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    value = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "sec_per_20frame_pose_inference_no_ggs",
+                "value": value,
+                "unit": "s",
+                "vs_baseline": value / BASELINE_SECONDS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
