@@ -1,0 +1,207 @@
+"""Co3D-v2 training.
+
+Mirrors the reference training entry (pose_diffusion/train.py:33-286):
+epoch loop with interleaved eval every ``eval_interval`` epochs, dynamic
+batch sampler (random frames-per-seq, ~constant image budget), AdamW with
+warmup-cosine-restarts, grad clip 1.0, ``batch_repeat`` diffusion-batch
+amortization, periodic checkpoints, epoch stats.
+
+TPU-native structure: one jitted train step per frame-bucket shape, batch
+sharded over the mesh's dp axis (GSPMD all-reduces the grads over ICI),
+optional FSDP param sharding, orbax full-state checkpoints, background
+thread prefetching the host-side data pipeline.
+
+    python train.py train.CO3D_DIR=... train.CO3D_ANNOTATION_DIR=... \
+        train.epochs=100 exp_dir=exp/run1
+"""
+
+import os
+import queue
+import threading
+import time
+
+
+def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event):
+    """Host-side loader thread: builds padded batches off the device path."""
+    from posediffusion_tpu.data import collate_batch
+
+    it = iter(sampler)
+    for _ in range(n_epoch_batches):
+        if stop_event.is_set():
+            return
+        batch_spec = next(it)
+        n = batch_spec[0][1]
+        bucket = sampler.bucket_for(n)
+        items = [dataset[spec] for spec in batch_spec]
+        out_q.put(collate_batch(items, pad_frames_to=bucket))
+    out_q.put(None)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posediffusion_tpu.data import Co3dDataset, DynamicBatchSampler
+    from posediffusion_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        param_shardings,
+        replicated,
+    )
+    from posediffusion_tpu.training import (
+        StatsLogger,
+        TrainState,
+        jit_train_step,
+        make_optimizer,
+        make_train_step,
+        save,
+    )
+    from posediffusion_tpu.utils.config import build_model, cli_config
+    from posediffusion_tpu.utils.seeding import seed_all_random_engines
+
+    cfg = cli_config("default_train")
+    print("Model Config:")
+    print(cfg.to_yaml())
+    seed_all_random_engines(cfg.seed, process_unique=True)
+
+    t = cfg.train
+
+    # --- data
+    common = dict(
+        category=(t.category,),
+        CO3D_DIR=t.CO3D_DIR,
+        CO3D_ANNOTATION_DIR=t.CO3D_ANNOTATION_DIR,
+        img_size=t.img_size,
+        normalize_cameras=t.normalize_cameras,
+        min_num_images=t.min_num_images,
+        first_camera_transform=t.first_camera_transform,
+        compute_optical=t.compute_optical,
+        color_aug=t.color_aug,
+        erase_aug=t.erase_aug,
+    )
+    dataset = Co3dDataset(split="train", **common)
+    eval_dataset = Co3dDataset(split="test", eval_time=True, **common)
+    print(f"train sequences: {len(dataset)}  eval sequences: {len(eval_dataset)}")
+
+    buckets = tuple(t.get("frame_buckets") or (4, 8, 16, 24, 32, 51))
+    # --- mesh
+    n_dev = len(jax.devices())
+    dp = t.get("dp") or (n_dev // (t.get("fsdp") or 1))
+    mesh = make_mesh(dp * (t.get("fsdp") or 1), fsdp=t.get("fsdp") or 1)
+    print(f"mesh: {dict(mesh.shape)}")
+
+    sampler = DynamicBatchSampler(
+        len(dataset), dataset_len=t.len_train, max_images=t.max_images,
+        images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
+        batch_multiple=dp, seed=cfg.seed,
+    )
+    eval_sampler = DynamicBatchSampler(
+        len(eval_dataset), dataset_len=t.len_eval, max_images=t.max_images // 2,
+        images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
+        batch_multiple=dp, seed=cfg.seed + 1,
+    )
+
+    model = build_model(cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(cfg.seed), image_hw=(t.img_size, t.img_size))
+    params = jax.device_put(params, param_shardings(mesh, params))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"params: {n_params/1e6:.1f}M")
+
+    optimizer, schedule = make_optimizer(
+        lr=t.lr, T_0=t.restart_num, iters_per_epoch=t.len_train,
+        clip_grad=t.clip_grad,
+    )
+    state = TrainState.create(params, optimizer)
+
+    if t.resume_ckpt:
+        from posediffusion_tpu.training import latest_checkpoint, restore
+
+        path = t.resume_ckpt if os.path.isdir(str(t.resume_ckpt)) else None
+        if path is None and str(t.resume_ckpt).endswith(".pth"):
+            from posediffusion_tpu.training import load_reference_checkpoint
+
+            state = state.replace(params=load_reference_checkpoint(str(t.resume_ckpt)))
+            print(f"Resumed weights from reference ckpt {t.resume_ckpt}")
+        else:
+            path = path or latest_checkpoint(cfg.exp_dir)
+            if path:
+                state = restore(path, state)
+                print(f"Resumed full state from {path}")
+
+    train_step = jit_train_step(make_train_step(model, optimizer, batch_repeat=t.batch_repeat))
+    eval_step = jit_train_step(make_train_step(model, optimizer, batch_repeat=0))
+
+    from posediffusion_tpu.training import make_eval_step
+
+    sample_eval = jax.jit(make_eval_step(model))
+
+    stats = StatsLogger(
+        ["loss", "lr", "sec/it", "Auc_30", "Racc_5", "Racc_15", "Racc_30",
+         "Tacc_5", "Tacc_15", "Tacc_30"],
+        jsonl_path=os.path.join(cfg.exp_dir, "stats.jsonl"),
+    )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    start_epoch = int(jax.device_get(state.step)) // max(t.len_train, 1)
+
+    for epoch in range(start_epoch, t.epochs):
+        stats.new_epoch()
+        seed_all_random_engines(cfg.seed + epoch, process_unique=True)
+
+        # ---- eval (sampling-based) every eval_interval epochs
+        if epoch != 0 and epoch % t.eval_interval == 0:
+            print(f"---------- eval at epoch {epoch} ----------")
+            for bi, batch_spec in enumerate(eval_sampler):
+                n = batch_spec[0][1]
+                bucket = eval_sampler.bucket_for(n)
+                from posediffusion_tpu.data import collate_batch
+
+                items = [eval_dataset[spec] for spec in batch_spec]
+                batch = collate_batch(items, pad_frames_to=bucket)
+                batch = jax.device_put(batch, batch_sharding(mesh))
+                key, sub = jax.random.split(key)
+                _, metrics = sample_eval(state.params, batch, sub)
+                stats.update(jax.device_get(metrics), stat_set="eval")
+                if bi % t.print_interval == 0:
+                    print(stats.status_string("eval", max_it=t.len_eval))
+
+        # ---- train
+        print(f"---------- train epoch {epoch} ----------")
+        q = queue.Queue(maxsize=4)
+        stop = threading.Event()
+        producer = threading.Thread(
+            target=data_producer, args=(dataset, sampler, q, t.len_train, stop),
+            daemon=True,
+        )
+        producer.start()
+        try:
+            step_i = 0
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                batch = jax.device_put(batch, batch_sharding(mesh))
+                key, sub = jax.random.split(key)
+                state, metrics = train_step(state, batch, sub)
+                metrics = jax.device_get(metrics)
+                metrics["lr"] = float(schedule(int(jax.device_get(state.step)) - 1))
+                stats.update(metrics, stat_set="train")
+                if step_i % t.print_interval == 0:
+                    print(stats.status_string("train", max_it=t.len_train))
+                step_i += 1
+        finally:
+            stop.set()
+
+        stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
+
+        if epoch % t.ckpt_interval == 0 or epoch == t.epochs - 1:
+            path = save(cfg.exp_dir, state)
+            print(f"saved checkpoint {path}")
+
+    save(cfg.exp_dir, state)
+    return True
+
+
+if __name__ == "__main__":
+    main()
