@@ -1,0 +1,95 @@
+"""MagicLeap SuperPoint / SuperGlue weight conversion.
+
+Maps the released checkpoints (``superpoint_v1.pth``,
+``superglue_{indoor,outdoor}.pth``) onto the Flax modules in this package.
+Key layouts observed from the MagicLeap model definitions hloc wraps
+(reference: util/match_extraction.py:91-98):
+
+SuperPoint:  conv{1a..4b}, convPa/convPb, convDa/convDb — plain Conv2d.
+SuperGlue:   kenc.encoder.{0,1,3,4,6,7,9}  (Conv1d/BatchNorm1d stacks),
+             gnn.layers.{i}.attn.proj.{0,1,2} (q/k/v Conv1d), .attn.merge,
+             gnn.layers.{i}.mlp.{0,1,3},
+             final_proj, bin_score.
+
+Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out); Conv1d (out, in, 1) ->
+Dense kernel (in, out); BatchNorm running stats land in the inference-mode
+ConvBNBlock parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv2d(sd, key):
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{key}.weight"].transpose(2, 3, 1, 0)),
+        "bias": sd[f"{key}.bias"],
+    }
+
+
+def _conv1d_dense(sd, key):
+    w = sd[f"{key}.weight"]  # (out, in, 1)
+    return {
+        "kernel": np.ascontiguousarray(w[:, :, 0].T),
+        "bias": sd[f"{key}.bias"],
+    }
+
+
+def _bn(sd, key):
+    return {
+        "bn_scale": sd[f"{key}.weight"],
+        "bn_bias": sd[f"{key}.bias"],
+        "bn_mean": sd[f"{key}.running_mean"],
+        "bn_var": sd[f"{key}.running_var"],
+    }
+
+
+def convert_superpoint(sd: Dict[str, np.ndarray]) -> Dict:
+    """SuperPoint state dict -> {'params': ...} for SuperPointNet."""
+    names = [
+        "conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b",
+        "conv4a", "conv4b", "convPa", "convPb", "convDa", "convDb",
+    ]
+    return {"params": {n: _conv2d(sd, n) for n in names}}
+
+
+def _point_mlp(sd, prefix, seq_indices):
+    """Convert a MagicLeap MLP Sequential (conv at i, bn at i+1 except last)
+    into PointMLP params.  seq_indices: the Conv1d positions."""
+    out = {}
+    for li, idx in enumerate(seq_indices):
+        conv = _conv1d_dense(sd, f"{prefix}.{idx}")
+        last = li == len(seq_indices) - 1
+        if last:
+            out[f"layers_{li}"] = conv
+        else:
+            entry = {"conv": conv}
+            entry.update(_bn(sd, f"{prefix}.{idx + 1}"))
+            out[f"layers_{li}"] = entry
+    return out
+
+
+def convert_superglue(sd: Dict[str, np.ndarray], gnn_layers: int = 9) -> Dict:
+    """SuperGlue state dict -> params for superglue.match_pair."""
+    net = {
+        "kenc": _point_mlp(sd, "kenc.encoder", [0, 3, 6, 9]),
+        "final_proj": _conv1d_dense(sd, "final_proj"),
+    }
+    for i in range(2 * gnn_layers):
+        l = f"gnn.layers.{i}"
+        net[f"gnn_{i}"] = {
+            "attn": {
+                "proj_q": _conv1d_dense(sd, f"{l}.attn.proj.0"),
+                "proj_k": _conv1d_dense(sd, f"{l}.attn.proj.1"),
+                "proj_v": _conv1d_dense(sd, f"{l}.attn.proj.2"),
+                "merge": _conv1d_dense(sd, f"{l}.attn.merge"),
+            },
+            "mlp": _point_mlp(sd, f"{l}.mlp", [0, 3]),
+        }
+    return {
+        "net": {"params": net},
+        "bin_score": np.asarray(sd["bin_score"], np.float32).reshape(()),
+    }

@@ -1,0 +1,169 @@
+"""End-to-end 2D match extraction for GGS.
+
+Replaces the reference's hloc + COLMAP pipeline
+(reference: pose_diffusion/util/match_extraction.py:27-153): SuperPoint on
+every frame, exhaustive pairing, SuperGlue matching, native RANSAC
+fundamental-matrix verification (no SQLite database — arrays flow through),
+then keypoint remapping from original-image pixels into the cropped/rescaled
+frame the pose model sees.
+
+Output matches the reference's ``extract_match`` contract:
+``(kp1 (M, 2), kp2 (M, 2), i12 (M, 2))`` with frame indices 0-based, ready
+for ``diffusion.pack_matches``.  Weights: converted MagicLeap checkpoints
+from ``weights_dir`` (superpoint_v1.pth + superglue_outdoor.pth), or
+explicit param pytrees.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from posediffusion_tpu.matching.ransac import verify_matches
+from posediffusion_tpu.matching.superglue import match_pair
+from posediffusion_tpu.matching.superpoint import detect_keypoints
+
+_GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def load_matcher_weights(weights_dir: str):
+    """Load + convert MagicLeap checkpoints from a directory."""
+    import torch
+
+    from posediffusion_tpu.matching.convert import (
+        convert_superglue,
+        convert_superpoint,
+    )
+
+    def _load(names):
+        for n in names:
+            p = os.path.join(weights_dir, n)
+            if os.path.isfile(p):
+                sd = torch.load(p, map_location="cpu", weights_only=True)
+                return {k: v.numpy() for k, v in sd.items()}
+        raise FileNotFoundError(f"none of {names} in {weights_dir}")
+
+    sp = convert_superpoint(_load(["superpoint_v1.pth"]))
+    sg = convert_superglue(
+        _load(["superglue_outdoor.pth", "superglue_indoor.pth"])
+    )
+    return sp, sg
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
+def _detect(sp_params, gray, max_keypoints, nms_radius):
+    return detect_keypoints(
+        sp_params, gray, max_keypoints=max_keypoints, nms_radius=nms_radius
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_hw", "sinkhorn_iterations", "match_threshold")
+)
+def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw,
+           sinkhorn_iterations, match_threshold):
+    return match_pair(
+        sg_params, d0[None], d1[None], k0[None], k1[None], s0[None], s1[None],
+        m0[None], m1[None], image_hw,
+        sinkhorn_iterations=sinkhorn_iterations,
+        match_threshold=match_threshold,
+    )
+
+
+def extract_match(
+    image_paths: Optional[Sequence[str]] = None,
+    image_folder_path: Optional[str] = None,
+    image_info: Optional[Dict] = None,
+    weights_dir: Optional[str] = None,
+    weights: Optional[Tuple] = None,
+    max_keypoints: int = 1024,
+    nms_radius: int = 4,
+    sinkhorn_iterations: int = 50,
+    match_threshold: float = 0.2,
+    ransac_threshold_px: float = 4.0,
+    min_pair_matches: int = 8,
+):
+    """Extract verified matches across all frame pairs.
+
+    Mirrors the reference entry (match_extraction.py:27-48); returns
+    (kp1, kp2, i12) in the cropped/rescaled pixel frame, or (None,)*3 when
+    no matcher weights are available or nothing verifies.
+    """
+    if weights is not None:
+        sp_params, sg_params = weights
+    elif weights_dir:
+        sp_params, sg_params = load_matcher_weights(weights_dir)
+    else:
+        raise ValueError("no matcher weights (set GGS.matcher_ckpt_dir)")
+
+    if image_paths is None:
+        from posediffusion_tpu.data.images import IMAGE_EXTENSIONS
+
+        image_paths = sorted(
+            os.path.join(image_folder_path, f)
+            for f in os.listdir(image_folder_path)
+            if f.lower().endswith(IMAGE_EXTENSIONS)
+        )
+
+    from posediffusion_tpu.data.images import load_image_chw
+
+    feats = []
+    hw = None
+    for path in image_paths:
+        img = load_image_chw(path)
+        gray = np.tensordot(_GRAY_W, img, axes=(0, 0))
+        # pad to a multiple of 8 so the 65-cell head tiles exactly
+        h, w = gray.shape
+        ph, pw = (-h) % 8, (-w) % 8
+        gray = np.pad(gray, ((0, ph), (0, pw)))
+        hw = gray.shape
+        k, s, d, v = _detect(
+            sp_params, jnp.asarray(gray)[None, None], max_keypoints, nms_radius
+        )
+        feats.append((k, s, d, v))
+
+    kp1_all, kp2_all, i12_all = [], [], []
+    n = len(feats)
+    for a in range(n):
+        for b in range(a + 1, n):
+            k0, s0, d0, v0 = feats[a]
+            k1, s1, d1, v1 = feats[b]
+            matches0, mscores0 = _match(
+                sg_params, d0, d1, k0, k1, s0, s1, v0, v1, hw,
+                sinkhorn_iterations, match_threshold,
+            )
+            matches0 = np.asarray(matches0)
+            sel = matches0 >= 0
+            if sel.sum() < min_pair_matches:
+                continue
+            p0 = np.asarray(k0)[sel]
+            p1 = np.asarray(k1)[matches0[sel]]
+            mask, _, count = verify_matches(
+                p0, p1, threshold_px=ransac_threshold_px, seed=a * n + b
+            )
+            if count < min_pair_matches:
+                continue
+            kp1_all.append(p0[mask])
+            kp2_all.append(p1[mask])
+            i12_all.append(np.repeat([[a, b]], count, axis=0))
+
+    if not kp1_all:
+        return None, None, None
+
+    kp1 = np.concatenate(kp1_all).astype(np.float32)
+    kp2 = np.concatenate(kp2_all).astype(np.float32)
+    i12 = np.concatenate(i12_all)
+
+    if image_info is not None:
+        bbox = np.asarray(image_info["bboxes_xyxy"])
+        scale = np.asarray(image_info["resized_scales"])
+        # remap original-image pixels into the cropped+rescaled frame
+        kp1 = (kp1 - bbox[i12[:, 0], :2]) * scale[i12[:, 0], None]
+        kp2 = (kp2 - bbox[i12[:, 1], :2]) * scale[i12[:, 1], None]
+
+    return kp1, kp2, i12

@@ -1,0 +1,232 @@
+"""SuperGlue attentional matcher in Flax.
+
+TPU-native replacement for the hloc SuperGlue stage the reference calls
+(reference: pose_diffusion/util/match_extraction.py:92-98; SURVEY.md N3).
+Architecture-parity port of the MagicLeap SuperGlue network so the released
+``superglue_outdoor.pth`` weights load through ``convert.convert_superglue``:
+
+* keypoint encoder: MLP([3, 32, 64, 128, 256]) over (x, y, score), added to
+  the visual descriptors,
+* attentional GNN: 18 alternating self/cross attention layers (4 heads,
+  dim 256), message MLP([512, 512, 256]) with residual,
+* final projection + scaled dot scores + log-domain Sinkhorn optimal
+  transport with a learned dustbin score,
+* mutual-nearest filtering with a match threshold.
+
+Padded keypoint sets carry validity masks so pair matching jits at a fixed
+K; the BatchNorms run in inference mode on the loaded running statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from posediffusion_tpu.ops.attention import mha_attention
+
+_NEG = -1e9
+
+
+class ConvBNBlock(nn.Module):
+    """Conv1d (pointwise Dense) + BatchNorm(inference) + optional ReLU."""
+
+    features: int
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.features, name="conv")(x)
+        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("bn_var", nn.initializers.ones, (self.features,))
+        x = (x - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+        return nn.relu(x) if self.relu else x
+
+
+class PointMLP(nn.Module):
+    """MLP over the channel dim of (..., N, C) token sets (torch Conv1d
+    stacks with BN+ReLU between layers, none after the last)."""
+
+    channels: Sequence[int]
+    final_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = len(self.channels)
+        for i, ch in enumerate(self.channels):
+            last = i == n - 1
+            if last and not self.final_bn:
+                x = nn.Dense(ch, name=f"layers_{i}")(x)
+            else:
+                x = ConvBNBlock(ch, relu=not last, name=f"layers_{i}")(x)
+        return x
+
+
+class MultiHeadedAttention(nn.Module):
+    num_heads: int = 4
+    d_model: int = 256
+
+    @nn.compact
+    def __call__(self, query, key, value, mask: Optional[jnp.ndarray] = None):
+        B, Nq, _ = query.shape
+        Nk = key.shape[1]
+        Dh = self.d_model // self.num_heads
+        q = nn.Dense(self.d_model, name="proj_q")(query)
+        k = nn.Dense(self.d_model, name="proj_k")(key)
+        v = nn.Dense(self.d_model, name="proj_v")(value)
+
+        def heads(a, n):
+            return a.reshape(B, n, self.num_heads, Dh).transpose(0, 2, 1, 3)
+
+        out = mha_attention(heads(q, Nq), heads(k, Nk), heads(v, Nk), mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
+        return nn.Dense(self.d_model, name="merge")(out)
+
+
+class AttentionalPropagation(nn.Module):
+    d_model: int = 256
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, source, source_mask=None):
+        message = MultiHeadedAttention(self.num_heads, self.d_model, name="attn")(
+            x, source, source, mask=source_mask
+        )
+        # MagicLeap MLP([512, 512, 256]): two convs (512 -> 512 BN+ReLU -> 256)
+        return PointMLP([2 * self.d_model, self.d_model], name="mlp")(
+            jnp.concatenate([x, message], axis=-1)
+        )
+
+
+class SuperGlueNet(nn.Module):
+    d_model: int = 256
+    num_heads: int = 4
+    gnn_layers: int = 9  # self+cross pairs
+
+    @nn.compact
+    def __call__(
+        self,
+        desc0, desc1,          # (1, K, 256) visual descriptors
+        kpts0, kpts1,          # (1, K, 2) pixel keypoints
+        scores0, scores1,      # (1, K) detector scores
+        mask0, mask1,          # (1, K) validity
+        image_hw: Tuple[int, int],
+    ):
+        h, w = image_hw
+        center = jnp.asarray([w / 2.0, h / 2.0])
+        scaling = 0.7 * max(w, h)
+        n0 = (kpts0 - center) / scaling
+        n1 = (kpts1 - center) / scaling
+
+        kenc = PointMLP([32, 64, 128, 256], name="kenc")
+        x0 = desc0 + kenc(jnp.concatenate([n0, scores0[..., None]], -1))
+        x1 = desc1 + kenc(jnp.concatenate([n1, scores1[..., None]], -1))
+
+        for i in range(2 * self.gnn_layers):
+            layer = AttentionalPropagation(
+                self.d_model, self.num_heads, name=f"gnn_{i}"
+            )
+            if i % 2 == 0:  # self attention
+                x0 = x0 + layer(x0, x0, source_mask=mask0)
+                x1 = x1 + layer(x1, x1, source_mask=mask1)
+            else:  # cross attention
+                x0, x1 = (
+                    x0 + layer(x0, x1, source_mask=mask1),
+                    x1 + layer(x1, x0, source_mask=mask0),
+                )
+
+        proj = nn.Dense(self.d_model, name="final_proj")
+        m0 = proj(x0)
+        m1 = proj(x1)
+        scores = jnp.einsum("bnd,bmd->bnm", m0, m1) / self.d_model**0.5
+        return scores
+
+
+def log_sinkhorn(scores, bin_score, mask0, mask1, iterations: int):
+    """Log-domain Sinkhorn over the (K0+1) x (K1+1) augmented score matrix.
+
+    Padded rows/cols are masked to -inf against real entries; marginals count
+    only valid keypoints (MagicLeap ``log_optimal_transport`` semantics with
+    per-set cardinalities).
+    """
+    b, m, n = scores.shape
+    valid0 = mask0.astype(scores.dtype)
+    valid1 = mask1.astype(scores.dtype)
+    pair_mask = valid0[:, :, None] * valid1[:, None, :]
+    scores = jnp.where(pair_mask > 0, scores, _NEG)
+
+    bins0 = jnp.full((b, m, 1), bin_score)
+    bins1 = jnp.full((b, 1, n), bin_score)
+    alpha = jnp.full((b, 1, 1), bin_score)
+    couplings = jnp.concatenate(
+        [
+            jnp.concatenate([scores, bins0], -1),
+            jnp.concatenate([bins1, alpha], -1),
+        ],
+        1,
+    )  # (b, m+1, n+1)
+
+    ms = jnp.sum(valid0, axis=1)  # (b,)
+    ns = jnp.sum(valid1, axis=1)
+    norm = -jnp.log(ms + ns)  # (b,)
+
+    log_mu = jnp.concatenate(
+        [jnp.where(mask0, norm[:, None], _NEG), (jnp.log(ns) + norm)[:, None]], 1
+    )  # (b, m+1)
+    log_nu = jnp.concatenate(
+        [jnp.where(mask1, norm[:, None], _NEG), (jnp.log(ms) + norm)[:, None]], 1
+    )  # (b, n+1)
+
+    # padded row/col entries of the coupling: -inf except against the bin
+    row_valid = jnp.concatenate([mask0, jnp.ones((b, 1), bool)], 1)
+    col_valid = jnp.concatenate([mask1, jnp.ones((b, 1), bool)], 1)
+    cell_mask = row_valid[:, :, None] & col_valid[:, None, :]
+    couplings = jnp.where(cell_mask, couplings, _NEG)
+
+    u = jnp.zeros_like(log_mu)
+    v = jnp.zeros_like(log_nu)
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
+        return u, v
+
+    u, v = jax.lax.fori_loop(0, iterations, body, (u, v))
+    Z = couplings + u[:, :, None] + v[:, None, :]
+    return Z - norm[:, None, None]
+
+
+def match_pair(
+    params,
+    desc0, desc1, kpts0, kpts1, scores0, scores1, mask0, mask1,
+    image_hw: Tuple[int, int],
+    sinkhorn_iterations: int = 50,
+    match_threshold: float = 0.2,
+):
+    """Match two padded keypoint sets.
+
+    Returns (matches0 (K0,) int32 index into set 1 or -1, mscores0 (K0,)).
+    """
+    net = SuperGlueNet()
+    scores = net.apply(
+        params["net"], desc0, desc1, kpts0, kpts1, scores0, scores1,
+        mask0, mask1, image_hw,
+    )
+    Z = log_sinkhorn(
+        scores, params["bin_score"], mask0, mask1, sinkhorn_iterations
+    )[:, :-1, :-1]
+
+    max0 = jnp.max(Z, axis=2)
+    idx0 = jnp.argmax(Z, axis=2)
+    idx1 = jnp.argmax(Z, axis=1)
+    mutual = jnp.take_along_axis(idx1, idx0, axis=1) == jnp.arange(Z.shape[1])[None]
+    mscores = jnp.exp(max0)
+    ok = mutual & (mscores > match_threshold) & mask0
+    ok = ok & jnp.take_along_axis(mask1, idx0, axis=1)
+    matches0 = jnp.where(ok, idx0, -1)
+    return matches0[0], jnp.where(ok, mscores, 0.0)[0]
