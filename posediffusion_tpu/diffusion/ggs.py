@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from posediffusion_tpu.geometry.epipolar import get_fundamental_matrices, sampson_distance
+from posediffusion_tpu.geometry.epipolar import hat, sampson_distance
 from posediffusion_tpu.geometry.pose_codec import pose_encoding_to_camera
 from posediffusion_tpu.utils.precision import highp
 
@@ -38,14 +38,20 @@ class MatchesData:
     """Fixed-size padded match set for one sequence.
 
     kp1/kp2: (M, 3) homogeneous pixel keypoints (x, y, 1).
-    pair_idx: (M,) index into the flattened n_frames*n_frames pair grid,
-        i12[:, 0] * n_frames + i12[:, 1].
+    pair_i1/pair_i2: (P,) frame indices of the unique ordered pairs present
+        (padded to P = n*(n-1)/2 slots); fundamental matrices are computed
+        only for these P pairs, not the full n^2 grid the reference builds
+        (geometry_guided_sampling.py:36) — same math, ~2x fewer pair ops on
+        the sequential GGS hot loop.
+    pair_slot: (M,) per-match index into the pair table.
     valid: (M,) bool — padding mask.
     """
 
     kp1: jnp.ndarray
     kp2: jnp.ndarray
-    pair_idx: jnp.ndarray
+    pair_i1: jnp.ndarray
+    pair_i2: jnp.ndarray
+    pair_slot: jnp.ndarray
     valid: jnp.ndarray
 
 
@@ -73,7 +79,18 @@ def pack_matches(kp1, kp2, i12, n_frames: int, pad_to: int) -> MatchesData:
         raise ValueError(f"pad_to={pad_to} < number of matches {m}")
     kp1h = np.concatenate([kp1, np.ones((m, 1), kp1.dtype)], axis=1)
     kp2h = np.concatenate([kp2, np.ones((m, 1), kp2.dtype)], axis=1)
-    pair = i12[:, 0].astype(np.int32) * n_frames + i12[:, 1].astype(np.int32)
+
+    # compress to the unique ordered pairs present
+    i12 = np.asarray(i12, np.int64)
+    flat = i12[:, 0] * n_frames + i12[:, 1]
+    unique_flat, slot = np.unique(flat, return_inverse=True)
+    n_pairs = n_frames * (n_frames - 1) // 2
+    if len(unique_flat) > n_pairs:
+        raise ValueError("more unique pairs than n*(n-1)/2 — expected a < b")
+    pair_i1 = np.zeros(n_pairs, np.int32)
+    pair_i2 = np.ones(n_pairs, np.int32)  # padded slots point at pair (0, 1)
+    pair_i1[: len(unique_flat)] = unique_flat // n_frames
+    pair_i2[: len(unique_flat)] = unique_flat % n_frames
 
     pad = pad_to - m
     kp1h = np.pad(kp1h, ((0, pad), (0, 0)))
@@ -83,14 +100,63 @@ def pack_matches(kp1, kp2, i12, n_frames: int, pad_to: int) -> MatchesData:
     # through the validity mask.
     kp1h[m:, 2] = 1.0
     kp2h[m:, 2] = 1.0
-    pair = np.pad(pair, (0, pad))
+    slot = np.pad(slot.astype(np.int32), (0, pad))
     valid = np.arange(pad_to) < m
     return MatchesData(
         kp1=jnp.asarray(kp1h, jnp.float32),
         kp2=jnp.asarray(kp2h, jnp.float32),
-        pair_idx=jnp.asarray(pair, jnp.int32),
+        pair_i1=jnp.asarray(pair_i1),
+        pair_i2=jnp.asarray(pair_i2),
+        pair_slot=jnp.asarray(slot),
         valid=jnp.asarray(valid),
     )
+
+
+@highp
+def _ggs_pair_fundamentals(
+    R: jnp.ndarray,  # (N, 3, 3) row-vector NDC rotations
+    T: jnp.ndarray,  # (N, 3)
+    fl: jnp.ndarray,  # (N, 2) tied NDC focal lengths
+    image_hw: Tuple[int, int],
+    pair_i1: jnp.ndarray,
+    pair_i2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fundamental matrices (kp1^T F kp2 = 0) for the compressed pair table.
+
+    Specialization of geometry.get_fundamental_matrices for the GGS loop:
+    the decoded cameras have zero principal point and a tied focal length, so
+    every camera shares one calibration matrix — K^-1 is a single analytic
+    3x3 instead of a batched LU inverse.  Fewer sequential ops matter here:
+    this graph re-executes ~7000 times per conditioned sampling phase.
+    """
+    h, w = image_hw
+    flip = jnp.asarray([-1.0, -1.0, 1.0], R.dtype)
+    R_cv = jnp.swapaxes(R * flip[None, None, :], -1, -2)
+    t_cv = T * flip[None, :]
+
+    scale = min(h, w) / 2.0
+    fx = fl[0, 0] * scale
+    fy = fl[0, 1] * scale
+    cx, cy = w / 2.0, h / 2.0
+    zero = jnp.zeros_like(fx)
+    one = jnp.ones_like(fx)
+    K_inv = jnp.stack(
+        [
+            jnp.stack([1.0 / fx, zero, -cx / fx], -1),
+            jnp.stack([zero, 1.0 / fy, -cy / fy], -1),
+            jnp.stack([zero, zero, one], -1),
+        ],
+        axis=-2,
+    )
+
+    R1, t1 = R_cv[pair_i1], t_cv[pair_i1]
+    R2, t2 = R_cv[pair_i2], t_cv[pair_i2]
+    R12 = jnp.matmul(R2, jnp.swapaxes(R1, -1, -2))
+    t12 = t2 - jnp.matmul(R12, t1[..., None])[..., 0]
+    E_t = -jnp.matmul(jnp.swapaxes(R12, -1, -2), t12[..., None])[..., 0]
+    E = jnp.matmul(R12, hat(E_t))
+    F = jnp.matmul(K_inv.T, jnp.matmul(E, K_inv))  # p2^T F p1 = 0
+    return jnp.swapaxes(F, -1, -2)  # kp1^T F kp2 = 0
 
 
 @highp
@@ -108,23 +174,21 @@ def compute_sampson_loss(
     Mirrors reference compute_sampson_distance
     (geometry_guided_sampling.py:129-172): decode cameras, tie the focal
     length to the per-sequence mean, detach non-optimized components, build
-    all-pairs fundamental matrices, drop residuals >= sampson_max.
+    pairwise fundamental matrices, drop residuals >= sampson_max.
     """
-    b = model_mean.shape[1]  # frames
     cam = pose_encoding_to_camera(model_mean)
 
-    fl = jnp.broadcast_to(jnp.mean(cam.focal_length, axis=0, keepdims=True), cam.focal_length.shape)
+    fl = jnp.broadcast_to(
+        jnp.mean(cam.focal_length, axis=0, keepdims=True), cam.focal_length.shape
+    )
     R = cam.R if update_R else jax.lax.stop_gradient(cam.R)
     T = cam.T if update_T else jax.lax.stop_gradient(cam.T)
     fl = fl if update_FL else jax.lax.stop_gradient(fl)
-    cam = cam.replace(R=R, T=T, focal_length=fl)
 
-    h, w = image_hw
-    i1, i2 = jnp.meshgrid(jnp.arange(b), jnp.arange(b), indexing="ij")
-    F_2_to_1 = get_fundamental_matrices(cam, h, w, i1.reshape(-1), i2.reshape(-1))
-    F = jnp.swapaxes(F_2_to_1, -1, -2)  # kp1^T F kp2 = 0
-
-    sampson = sampson_distance(F[matches.pair_idx], matches.kp1, matches.kp2)
+    F = _ggs_pair_fundamentals(
+        R, T, fl, image_hw, matches.pair_i1, matches.pair_i2
+    )
+    sampson = sampson_distance(F[matches.pair_slot], matches.kp1, matches.kp2)
     keep = matches.valid & (sampson < sampson_max)
     count = jnp.sum(keep)
     loss = jnp.sum(jnp.where(keep, sampson, 0.0)) / jnp.maximum(count, 1)
@@ -140,18 +204,14 @@ def sampson_report(
     """Clamped mean Sampson distance over all valid matches — the progress
     statistic the reference logs per conditioned step
     (geometry_guided_sampling.py:169 ``sampson_to_print``)."""
-    b = model_mean.shape[1]
     cam = pose_encoding_to_camera(model_mean)
     fl = jnp.broadcast_to(
         jnp.mean(cam.focal_length, axis=0, keepdims=True), cam.focal_length.shape
     )
-    cam = cam.replace(focal_length=fl)
-    h, w = image_hw
-    i1, i2 = jnp.meshgrid(jnp.arange(b), jnp.arange(b), indexing="ij")
-    F = jnp.swapaxes(
-        get_fundamental_matrices(cam, h, w, i1.reshape(-1), i2.reshape(-1)), -1, -2
+    F = _ggs_pair_fundamentals(
+        cam.R, cam.T, fl, image_hw, matches.pair_i1, matches.pair_i2
     )
-    sampson = sampson_distance(F[matches.pair_idx], matches.kp1, matches.kp2)
+    sampson = sampson_distance(F[matches.pair_slot], matches.kp1, matches.kp2)
     clamped = jnp.minimum(sampson, sampson_max)
     nvalid = jnp.maximum(jnp.sum(matches.valid), 1)
     return jnp.sum(jnp.where(matches.valid, clamped, 0.0)) / nvalid

@@ -59,6 +59,31 @@ def fundamental_matrix(K1, R1, t1, K2, R2, t2) -> Tuple[jnp.ndarray, jnp.ndarray
     return F, E
 
 
+def _intrinsics_inverse(K: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of calibration matrices [[fx,0,cx],[0,fy,cy],[0,0,1]].
+
+    Avoids the LU factorization (and its backward pass) of a general
+    ``jnp.linalg.inv`` — this sits on the GGS hot loop, which runs thousands
+    of sequential tiny iterations where per-op cost dominates.
+    """
+    fx = K[..., 0, 0]
+    fy = K[..., 1, 1]
+    cx = K[..., 0, 2]
+    cy = K[..., 1, 2]
+    zero = jnp.zeros_like(fx)
+    one = jnp.ones_like(fx)
+    inv_fx = 1.0 / fx
+    inv_fy = 1.0 / fy
+    return jnp.stack(
+        [
+            jnp.stack([inv_fx, zero, -cx * inv_fx], axis=-1),
+            jnp.stack([zero, inv_fy, -cy * inv_fy], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 @highp
 def get_fundamental_matrices(
     cam: PerspectiveCameras,
@@ -74,9 +99,11 @@ def get_fundamental_matrices(
     with ``p2^T F p1 = 0`` in pixel coordinates of an (height, width) image.
     """
     R_cv, t_cv, K = cameras_to_opencv(cam, (height, width))
-    F, _ = fundamental_matrix(
-        K[index1], R_cv[index1], t_cv[index1], K[index2], R_cv[index2], t_cv[index2]
-    )
+    E = essential_matrix(R_cv[index1], t_cv[index1], R_cv[index2], t_cv[index2])
+    K_inv = _intrinsics_inverse(K)
+    K1_inv = K_inv[index1]
+    K2_inv_T = jnp.swapaxes(K_inv[index2], -1, -2)
+    F = jnp.matmul(K2_inv_T, jnp.matmul(E, K1_inv))
     if l2_normalize_F:
         scale = jnp.maximum(
             jnp.linalg.norm(F, axis=(-2, -1), keepdims=True), 1e-4

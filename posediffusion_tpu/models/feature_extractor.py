@@ -19,7 +19,13 @@ from posediffusion_tpu.ops.image import imagenet_normalize, resize_bilinear, sca
 
 
 class MultiScaleImageFeatureExtractor(nn.Module):
+    """Backbone choices follow the reference's ``modelname`` contract
+    (image_feature_extractor.py:34-43): ``dino_vits16`` / ``dino_vitb16``
+    (default), ``dinov2_vits14`` (LayerScale, patch 14), or ``resnet50`` /
+    ``resnet101`` (pooled features, fc removed)."""
+
     scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3)
+    modelname: str = "dino_vits16"
     patch_size: int = 16
     embed_dim: int = 384
     depth: int = 12
@@ -27,18 +33,32 @@ class MultiScaleImageFeatureExtractor(nn.Module):
 
     @property
     def output_dim(self) -> int:
+        if "resnet" in self.modelname:
+            return 2048
         return self.embed_dim
 
     @nn.compact
     def __call__(self, images_nchw: jnp.ndarray) -> jnp.ndarray:
-        """(B, 3, H, W) float images in [0, 1] -> (B, embed_dim) features."""
-        net = VisionTransformer(
-            patch_size=self.patch_size,
-            embed_dim=self.embed_dim,
-            depth=self.depth,
-            num_heads=self.num_heads,
-            name="net",
-        )
+        """(B, 3, H, W) float images in [0, 1] -> (B, output_dim) features."""
+        if "resnet" in self.modelname:
+            from posediffusion_tpu.models.resnet import ResNet
+
+            layers = (3, 4, 23, 3) if "101" in self.modelname else (3, 4, 6, 3)
+            net = ResNet(layers=layers, name="net")
+        elif "dinov2" in self.modelname:
+            net = VisionTransformer(
+                patch_size=14, embed_dim=self.embed_dim, depth=self.depth,
+                num_heads=self.num_heads, pos_grid=37, layer_scale=True,
+                name="net",
+            )
+        else:
+            net = VisionTransformer(
+                patch_size=self.patch_size,
+                embed_dim=self.embed_dim,
+                depth=self.depth,
+                num_heads=self.num_heads,
+                name="net",
+            )
         img = imagenet_normalize(images_nchw)
         h, w = img.shape[-2:]
 

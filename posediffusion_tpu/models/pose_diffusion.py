@@ -36,6 +36,7 @@ from posediffusion_tpu.models.feature_extractor import MultiScaleImageFeatureExt
 class PoseDiffusionConfig:
     pose_encoding_type: str = "absT_quaR_logFL"
     target_dim: int = 9
+    modelname: str = "dino_vits16"
     z_dim: int = 384
     # denoiser / transformer (reference: cfgs/default.yaml:26-34)
     d_model: int = 512
@@ -66,15 +67,17 @@ class PoseDiffusionModel:
         self.config = config
         self.extractor = MultiScaleImageFeatureExtractor(
             scale_factors=config.scale_factors,
+            modelname=config.modelname,
             patch_size=config.patch_size,
-            embed_dim=config.z_dim,
+            embed_dim=config.z_dim if "resnet" not in config.modelname else 384,
             depth=config.vit_depth,
             num_heads=config.vit_heads,
         )
+        z_dim = self.extractor.output_dim
         self.denoiser = Denoiser(
             target_dim=config.target_dim,
             pivot_cam_onehot=config.pivot_cam_onehot,
-            z_dim=config.z_dim,
+            z_dim=z_dim,
             mlp_hidden_dim=config.mlp_hidden_dim,
             d_model=config.d_model,
             nhead=config.nhead,
@@ -168,18 +171,42 @@ class PoseDiffusionModel:
         cond_start_step: int = 0,
         mask: Optional[jnp.ndarray] = None,
         return_trajectory: bool = False,
+        sampling_timesteps: Optional[int] = None,
+        ddim_eta: float = 0.0,
     ):
-        """Run the reverse process; returns (pose_encodings (B, N, 9), traj)."""
+        """Run the reverse process; returns (pose_encodings (B, N, 9), traj).
+
+        ``sampling_timesteps`` < num_timesteps switches to DDIM with that
+        many steps (deterministic for eta=0).
+        """
         z = self.extract_features(params, images)
         B, N = z.shape[:2]
 
         def model_fn(x, tt):
             return self.denoiser.apply(params["denoiser"], x, tt, z, mask=mask)
 
+        shape = (B, N, self.config.target_dim)
+        if (
+            sampling_timesteps is not None
+            and sampling_timesteps < self.schedule.num_timesteps
+        ):
+            from posediffusion_tpu.diffusion.gaussian import ddim_sample_loop
+
+            return ddim_sample_loop(
+                self.schedule,
+                model_fn,
+                shape,
+                key,
+                sampling_timesteps=sampling_timesteps,
+                eta=ddim_eta,
+                cond_fn=cond_fn,
+                cond_start_step=cond_start_step,
+                objective=self.config.objective,
+            )
         return p_sample_loop(
             self.schedule,
             model_fn,
-            (B, N, self.config.target_dim),
+            shape,
             key,
             cond_fn=cond_fn,
             cond_start_step=cond_start_step,

@@ -66,16 +66,22 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    layer_scale: bool = False  # DINOv2-style LayerScale (ls1/ls2 gamma)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + ViTAttention(self.dim, self.num_heads, name="attn")(
+        h = ViTAttention(self.dim, self.num_heads, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         )
-        x = x + ViTMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+        if self.layer_scale:
+            h = h * self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
+        x = x + h
+        h = ViTMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         )
-        return x
+        if self.layer_scale:
+            h = h * self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
+        return x + h
 
 
 class VisionTransformer(nn.Module):
@@ -87,6 +93,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 4.0
     pos_grid: int = 14  # pos_embed trained at 224/16 = 14x14 patches
+    layer_scale: bool = False  # DINOv2 variants
 
     def interpolate_pos_encoding(self, pos_embed: jnp.ndarray, h0: int, w0: int):
         """Bicubic-resample the patch position grid to (h0, w0)
@@ -130,7 +137,10 @@ class VisionTransformer(nn.Module):
         x = x + self.interpolate_pos_encoding(pos_embed, h0, w0)
 
         for i in range(self.depth):
-            x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio, name=f"blocks_{i}")(x)
+            x = ViTBlock(
+                self.embed_dim, self.num_heads, self.mlp_ratio,
+                layer_scale=self.layer_scale, name=f"blocks_{i}",
+            )(x)
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x[:, 0]
@@ -145,4 +155,13 @@ def vit_small(patch_size: int = 16) -> VisionTransformer:
 def vit_base(patch_size: int = 16) -> VisionTransformer:
     return VisionTransformer(
         patch_size=patch_size, embed_dim=768, depth=12, num_heads=12
+    )
+
+
+def vit_small_dinov2() -> VisionTransformer:
+    """DINOv2 ViT-S/14 (reference: image_feature_extractor.py:38-40 accepts
+    ``dinov2_*`` backbones): patch 14, LayerScale, pos grid 37 (518px)."""
+    return VisionTransformer(
+        patch_size=14, embed_dim=384, depth=12, num_heads=6,
+        pos_grid=37, layer_scale=True,
     )

@@ -126,13 +126,15 @@ def build_model_config(model_cfg: Config):
     extractor = model_cfg.get("IMAGE_FEATURE_EXTRACTOR", Config())
 
     modelname = extractor.get("modelname", "dino_vits16")
-    if modelname not in ("dino_vits16", "dino_vitb16"):
-        raise ValueError(f"unsupported backbone {modelname}")
-    z_dim = 384 if modelname == "dino_vits16" else 768
-    vit_heads = 6 if modelname == "dino_vits16" else 12
+    known = ("dino_vits16", "dino_vitb16", "dinov2_vits14", "resnet50", "resnet101")
+    if modelname not in known:
+        raise ValueError(f"unsupported backbone {modelname} (known: {known})")
+    z_dim = {"dino_vitb16": 768}.get(modelname, 384)
+    vit_heads = 12 if modelname == "dino_vitb16" else 6
 
     return PoseDiffusionConfig(
         pose_encoding_type=model_cfg.get("pose_encoding_type", "absT_quaR_logFL"),
+        modelname=modelname,
         z_dim=z_dim,
         d_model=tr.get("d_model", 512),
         nhead=tr.get("nhead", 4),

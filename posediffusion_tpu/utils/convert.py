@@ -83,7 +83,7 @@ def convert_dino_vit(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
         n_blocks += 1
     for i in range(n_blocks):
         b = f"{p}blocks.{i}"
-        params[f"blocks_{i}"] = {
+        entry = {
             "norm1": _layernorm(sd, f"{b}.norm1"),
             "attn": {
                 "qkv": _dense(sd, f"{b}.attn.qkv"),
@@ -95,6 +95,11 @@ def convert_dino_vit(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
                 "fc2": _dense(sd, f"{b}.mlp.fc2"),
             },
         }
+        # DINOv2 LayerScale
+        if f"{b}.ls1.gamma" in sd:
+            entry["ls1_gamma"] = sd[f"{b}.ls1.gamma"]
+            entry["ls2_gamma"] = sd[f"{b}.ls2.gamma"]
+        params[f"blocks_{i}"] = entry
     return params
 
 
@@ -137,11 +142,22 @@ def convert_denoiser(sd: Dict[str, np.ndarray], prefix: str = "diffuser.model.")
 
 
 def convert_pose_diffusion_checkpoint(sd: Dict[str, np.ndarray]) -> Dict:
-    """Full reference checkpoint -> PoseDiffusionModel params pytree."""
-    vit = convert_dino_vit(sd, prefix="image_feature_extractor._net.")
+    """Full reference checkpoint -> PoseDiffusionModel params pytree.
+
+    Detects the backbone family from the key layout (ViT: cls_token present;
+    ResNet: conv1/bn1 stacks)."""
+    p = "image_feature_extractor._net."
+    if f"{p}cls_token" in sd:
+        net = convert_dino_vit(sd, prefix=p)
+    elif f"{p}conv1.weight" in sd:
+        from posediffusion_tpu.models.resnet import convert_resnet
+
+        net = convert_resnet({k[len(p):]: v for k, v in sd.items() if k.startswith(p)})
+    else:
+        raise ValueError("unrecognized feature-extractor checkpoint layout")
     denoiser = convert_denoiser(sd, prefix="diffuser.model.")
     return {
-        "extractor": {"params": {"net": vit}},
+        "extractor": {"params": {"net": net}},
         "denoiser": {"params": denoiser},
     }
 

@@ -172,6 +172,74 @@ class TestSampler:
         assert float(jnp.abs(x).max()) > 50.0
 
 
+class TestDDIM:
+    def test_full_step_ddim_matches_ancestral_statistics(self, rng):
+        """eta=0 DDIM with S=T steps recovers x0 for a perfect denoiser."""
+        from posediffusion_tpu.diffusion.gaussian import ddim_sample_loop
+
+        s = make_schedule(timesteps=50)
+        target = jnp.asarray(rng.normal(size=(1, 4, 9)).astype(np.float32))
+
+        def oracle(x, t):
+            # oracle noise prediction consistent with x0 = target
+            from posediffusion_tpu.diffusion.schedule import extract
+
+            nd = x.ndim
+            return (
+                extract(s.sqrt_recip_alphas_cumprod, t, nd) * x - target
+            ) / extract(s.sqrt_recipm1_alphas_cumprod, t, nd)
+
+        x, _ = ddim_sample_loop(
+            s, oracle, (1, 4, 9), jax.random.PRNGKey(0), sampling_timesteps=50
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-3)
+
+    def test_few_step_ddim_close_to_oracle(self, rng):
+        from posediffusion_tpu.diffusion.gaussian import ddim_sample_loop
+
+        s = make_schedule(timesteps=100)
+        target = jnp.asarray(rng.normal(size=(1, 4, 9)).astype(np.float32))
+
+        def oracle(x, t):
+            from posediffusion_tpu.diffusion.schedule import extract
+
+            nd = x.ndim
+            return (
+                extract(s.sqrt_recip_alphas_cumprod, t, nd) * x - target
+            ) / extract(s.sqrt_recipm1_alphas_cumprod, t, nd)
+
+        x, _ = ddim_sample_loop(
+            s, oracle, (1, 4, 9), jax.random.PRNGKey(0), sampling_timesteps=10
+        )
+        np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-2)
+
+    def test_deterministic_for_eta_zero(self):
+        from posediffusion_tpu.diffusion.gaussian import ddim_sample_loop
+
+        s = make_schedule(timesteps=30)
+        f = lambda x, t: 0.2 * x
+        x1, _ = ddim_sample_loop(s, f, (1, 3, 9), jax.random.PRNGKey(5), 10)
+        x2, _ = ddim_sample_loop(s, f, (1, 3, 9), jax.random.PRNGKey(5), 10)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+    def test_model_sample_api_ddim(self, rng):
+        from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
+
+        cfg = PoseDiffusionConfig(
+            z_dim=16, d_model=32, nhead=2, num_encoder_layers=1,
+            dim_feedforward=32, vit_depth=1, vit_heads=2, timesteps=20,
+            scale_factors=(1.0,),
+        )
+        model = PoseDiffusionModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        images = jnp.asarray(rng.uniform(size=(1, 3, 3, 32, 32)).astype(np.float32))
+        enc, _ = model.sample(
+            params, images, jax.random.PRNGKey(1), sampling_timesteps=5
+        )
+        assert enc.shape == (1, 3, 9)
+        assert bool(jnp.isfinite(enc).all())
+
+
 def make_gt_scene(rng, n=5, n_points=60, hw=(224, 224)):
     """Cameras looking at the origin + projected world points as matches."""
     target = np.zeros(3)
