@@ -26,6 +26,9 @@ REPEATS = 5
 
 
 def main():
+    from posediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
 
     model = PoseDiffusionModel(PoseDiffusionConfig())

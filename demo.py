@@ -47,6 +47,10 @@ def get_matches(cfg, image_info, images_shape):
 
 def main():
     import jax
+
+    from posediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from posediffusion_tpu.data import load_and_preprocess_images

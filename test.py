@@ -91,6 +91,10 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer)
 
 def main():
     import jax
+
+    from posediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from posediffusion_tpu.data.co3d import expand_categories

@@ -39,6 +39,10 @@ def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event):
 
 def main():
     import jax
+
+    from posediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
