@@ -21,20 +21,29 @@ import threading
 import time
 
 
-def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event):
-    """Host-side loader thread: builds padded batches off the device path."""
+def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event, num_workers=8):
+    """Host-side loader: a worker pool decodes/augments items (PIL releases
+    the GIL), the producer thread collates padded batches off the device
+    path.  Replaces the torch DataLoader worker processes
+    (reference: train.py:256-274)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from posediffusion_tpu.data import collate_batch
 
     it = iter(sampler)
-    for _ in range(n_epoch_batches):
-        if stop_event.is_set():
-            return
-        batch_spec = next(it)
-        n = batch_spec[0][1]
-        bucket = sampler.bucket_for(n)
-        items = [dataset[spec] for spec in batch_spec]
-        out_q.put(collate_batch(items, pad_frames_to=bucket))
-    out_q.put(None)
+    pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+    try:
+        for _ in range(n_epoch_batches):
+            if stop_event.is_set():
+                return
+            batch_spec = next(it)
+            n = batch_spec[0][1]
+            bucket = sampler.bucket_for(n)
+            items = list(pool.map(dataset.__getitem__, batch_spec))
+            out_q.put(collate_batch(items, pad_frames_to=bucket))
+        out_q.put(None)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 def main():
@@ -65,6 +74,18 @@ def main():
     from posediffusion_tpu.utils.seeding import seed_all_random_engines
 
     cfg = cli_config("default_train")
+
+    # Multi-host TPU slices: initialize the distributed runtime when the
+    # launcher provides coordination env vars (replaces 'accelerate launch
+    # --multi_gpu', reference README.md:70); each process then loads a
+    # distinct data shard via its process-unique seed.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        print(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local of {jax.device_count()} devices"
+        )
+
     print("Model Config:")
     print(cfg.to_yaml())
     seed_all_random_engines(cfg.seed, process_unique=True)
@@ -98,7 +119,7 @@ def main():
     sampler = DynamicBatchSampler(
         len(dataset), dataset_len=t.len_train, max_images=t.max_images,
         images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
-        batch_multiple=dp, seed=cfg.seed,
+        batch_multiple=dp, seed=cfg.seed + 1000 * jax.process_index(),
     )
     eval_sampler = DynamicBatchSampler(
         len(eval_dataset), dataset_len=t.len_eval, max_images=t.max_images // 2,
@@ -175,7 +196,8 @@ def main():
         q = queue.Queue(maxsize=4)
         stop = threading.Event()
         producer = threading.Thread(
-            target=data_producer, args=(dataset, sampler, q, t.len_train, stop),
+            target=data_producer,
+            args=(dataset, sampler, q, t.len_train, stop, t.num_workers),
             daemon=True,
         )
         producer.start()
