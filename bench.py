@@ -39,19 +39,30 @@ def main():
         rng.uniform(size=(1, N_FRAMES, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
     )
 
+    # R sequential end-to-end inferences inside ONE device program: host<->
+    # device round-trip latency (which can dominate through remote tunnels)
+    # amortizes away, so value = per-inference device time.  lax.map is
+    # sequential, so this measures latency, not batching throughput.
+    R = 10
+
     @jax.jit
-    def infer(params, images, key):
-        enc, _ = model.sample(params, images, key)
-        return enc
+    def infer_chain(params, images, key):
+        keys = jax.random.split(key, R)
+
+        def one(k):
+            enc, _ = model.sample(params, images, k)
+            return enc
+
+        return jax.lax.map(one, keys)
 
     for i in range(WARMUP):
-        infer(params, images, jax.random.PRNGKey(i)).block_until_ready()
+        jax.device_get(jnp.sum(infer_chain(params, images, jax.random.PRNGKey(i))))
 
     times = []
     for i in range(REPEATS):
         t0 = time.perf_counter()
-        infer(params, images, jax.random.PRNGKey(100 + i)).block_until_ready()
-        times.append(time.perf_counter() - t0)
+        jax.device_get(jnp.sum(infer_chain(params, images, jax.random.PRNGKey(100 + i))))
+        times.append((time.perf_counter() - t0) / R)
 
     value = float(np.median(times))
     print(

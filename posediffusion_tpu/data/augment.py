@@ -90,28 +90,41 @@ class ColorJitter:
     blur_p: float = 0.0
     blur_sigma: Tuple[float, float] = (0.1, 1.0)
 
-    def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        if rng.uniform() < self.apply_p:
+    def sample_params(self, rng: np.random.Generator) -> dict:
+        """Draw one set of augmentation parameters (torchvision ColorJitter
+        samples once per call, so one draw covers a whole image stack)."""
+        return {
+            "apply": rng.uniform() < self.apply_p,
+            "order": rng.permutation(4),
+            "brightness": rng.uniform(1 - self.brightness, 1 + self.brightness),
+            "contrast": rng.uniform(1 - self.contrast, 1 + self.contrast),
+            "saturation": rng.uniform(1 - self.saturation, 1 + self.saturation),
+            "hue": rng.uniform(-self.hue, self.hue),
+            "grayscale": rng.uniform() < self.grayscale_p,
+            "blur": bool(self.blur_p) and rng.uniform() < self.blur_p,
+            "blur_sigma": rng.uniform(*self.blur_sigma),
+        }
+
+    def apply(self, img: np.ndarray, p: dict) -> np.ndarray:
+        """Apply previously sampled parameters to one (3, H, W) image."""
+        if p["apply"]:
             ops = [
-                lambda im: adjust_brightness(
-                    im, rng.uniform(1 - self.brightness, 1 + self.brightness)
-                ),
-                lambda im: adjust_contrast(
-                    im, rng.uniform(1 - self.contrast, 1 + self.contrast)
-                ),
-                lambda im: adjust_saturation(
-                    im, rng.uniform(1 - self.saturation, 1 + self.saturation)
-                ),
-                lambda im: adjust_hue(im, rng.uniform(-self.hue, self.hue)),
+                lambda im: adjust_brightness(im, p["brightness"]),
+                lambda im: adjust_contrast(im, p["contrast"]),
+                lambda im: adjust_saturation(im, p["saturation"]),
+                lambda im: adjust_hue(im, p["hue"]),
             ]
-            for idx in rng.permutation(4):
+            for idx in p["order"]:
                 img = ops[idx](img)
-        if rng.uniform() < self.grayscale_p:
+        if p["grayscale"]:
             gray = np.tensordot(_GRAY_W, img, axes=(0, 0))
             img = np.broadcast_to(gray[None], img.shape).copy()
-        if self.blur_p and rng.uniform() < self.blur_p:
-            img = gaussian_blur(img, rng.uniform(*self.blur_sigma))
+        if p["blur"]:
+            img = gaussian_blur(img, p["blur_sigma"])
         return img
+
+    def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        return self.apply(img, self.sample_params(rng))
 
 
 RE10K_COLOR_JITTER = ColorJitter(

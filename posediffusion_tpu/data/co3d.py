@@ -102,7 +102,13 @@ class Co3dDataset:
             self.jitter_scale, self.jitter_trans = jitter_scale, jitter_trans
         self._jitter = ColorJitter()
         self._erase = RandomErase()
-        self.rng = np.random.default_rng(seed)
+        # Per-item RNG streams: __getitem__ runs on a worker pool, and numpy
+        # Generators are not thread-safe; each item spawns its own child
+        # stream under a lock (SeedSequence.spawn mutates parent state).
+        import threading
+
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._rng_lock = threading.Lock()
 
         self.rotations: Dict[str, List[dict]] = {}
         self.category_map: Dict[str, str] = {}
@@ -136,10 +142,15 @@ class Co3dDataset:
     def __len__(self):
         return len(self.sequence_list)
 
-    def _jitter_bbox(self, bbox: np.ndarray) -> np.ndarray:
+    def _item_rng(self) -> np.random.Generator:
+        with self._rng_lock:
+            child = self._seed_seq.spawn(1)[0]
+        return np.random.default_rng(child)
+
+    def _jitter_bbox(self, bbox: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         bbox = square_bbox(bbox.astype(np.float32))
-        s = self.rng.uniform(*self.jitter_scale)
-        tx, ty = self.rng.uniform(*self.jitter_trans, size=2)
+        s = rng.uniform(*self.jitter_scale)
+        tx, ty = rng.uniform(*self.jitter_trans, size=2)
         side = bbox[2] - bbox[0]
         center = (bbox[:2] + bbox[2:]) / 2 + np.array([tx, ty]) * side
         extent = side / 2 * s
@@ -151,8 +162,9 @@ class Co3dDataset:
         index, n_per_seq = idx_n
         seq = self.sequence_list[index]
         metadata = self.rotations[seq]
-        ids = self.rng.choice(len(metadata), n_per_seq, replace=False)
-        return self.get_data(index=index, ids=ids)
+        rng = self._item_rng()
+        ids = rng.choice(len(metadata), n_per_seq, replace=False)
+        return self.get_data(index=index, ids=ids, rng=rng)
 
     def get_data(
         self,
@@ -160,7 +172,9 @@ class Co3dDataset:
         sequence_name: Optional[str] = None,
         ids: Sequence[int] = (0, 1),
         return_path: bool = False,
+        rng: Optional[np.random.Generator] = None,
     ) -> Dict:
+        rng = rng or self._item_rng()
         if sequence_name is None:
             sequence_name = self.sequence_list[index]
         metadata = self.rotations[sequence_name]
@@ -183,7 +197,7 @@ class Co3dDataset:
             else:
                 bbox = np.asarray(anno["bbox"])
 
-            bbox_j = bbox if self.eval_time else self._jitter_bbox(bbox)
+            bbox_j = bbox if self.eval_time else self._jitter_bbox(bbox, rng)
             bbox_xywh = camera_np.bbox_xyxy_to_xywh(bbox_j).astype(np.float64)
 
             fl, pp = np.asarray(anno["focal_length"]), np.asarray(anno["principal_point"])
@@ -245,9 +259,13 @@ class Co3dDataset:
 
         imgs = np.stack(images)
         if self.color_aug:
-            imgs = np.stack([self._jitter(im, self.rng) for im in imgs])
+            # one parameter draw for the whole sequence (reference applies
+            # torchvision ColorJitter/RandomGrayscale to the stacked tensor,
+            # co3d_v2.py:169-177 + 384-386)
+            jitter_params = self._jitter.sample_params(rng)
+            imgs = np.stack([self._jitter.apply(im, jitter_params) for im in imgs])
             if self.erase_aug:
-                imgs = np.stack([self._erase(im, self.rng) for im in imgs])
+                imgs = np.stack([self._erase(im, rng) for im in imgs])
         batch["image"] = imgs.astype(np.float32)
 
         if return_path:

@@ -75,7 +75,10 @@ class Re10KDataset:
             self.jitter_scale, self.jitter_trans = jitter_scale, jitter_trans
         self._jitter = RE10K_COLOR_JITTER
         self._erase = RandomErase(scale=(0.02, 0.05))
-        self.rng = np.random.default_rng(seed)
+        import threading
+
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._rng_lock = threading.Lock()
 
         self.wholedata = self._build_dataset()
         self.sequence_list = sorted(self.wholedata.keys())
@@ -117,12 +120,17 @@ class Re10KDataset:
     def __len__(self):
         return len(self.sequence_list)
 
-    def _jitter_bbox(self, bbox: np.ndarray) -> np.ndarray:
+    def _item_rng(self) -> np.random.Generator:
+        with self._rng_lock:
+            child = self._seed_seq.spawn(1)[0]
+        return np.random.default_rng(child)
+
+    def _jitter_bbox(self, bbox: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         from posediffusion_tpu.data.co3d import square_bbox
 
         bbox = square_bbox(bbox.astype(np.float32))
-        s = self.rng.uniform(*self.jitter_scale)
-        tx, ty = self.rng.uniform(*self.jitter_trans, size=2)
+        s = rng.uniform(*self.jitter_scale)
+        tx, ty = rng.uniform(*self.jitter_trans, size=2)
         side = bbox[2] - bbox[0]
         center = (bbox[:2] + bbox[2:]) / 2 + np.array([tx, ty]) * side
         extent = side / 2 * s
@@ -134,8 +142,9 @@ class Re10KDataset:
         index, n_per_seq = idx_n
         seq = self.sequence_list[index]
         metadata = self.wholedata[seq]
-        ids = self.rng.choice(len(metadata), n_per_seq, replace=False)
-        return self.get_data(index=index, ids=ids)
+        rng = self._item_rng()
+        ids = rng.choice(len(metadata), n_per_seq, replace=False)
+        return self.get_data(index=index, ids=ids, rng=rng)
 
     def get_data(
         self,
@@ -143,7 +152,9 @@ class Re10KDataset:
         sequence_name: Optional[str] = None,
         ids: Sequence[int] = (0, 1),
         return_path: bool = False,
+        rng: Optional[np.random.Generator] = None,
     ) -> Dict:
+        rng = rng or self._item_rng()
         if sequence_name is None:
             sequence_name = self.sequence_list[index]
         metadata = self.wholedata[sequence_name]
@@ -174,7 +185,7 @@ class Re10KDataset:
                 m = min(h, w)
             top, left = (h - m) // 2, (w - m) // 2
             bbox = np.array([left, top, left + m, top + m])
-            bbox_j = bbox if self.eval_time else self._jitter_bbox(bbox)
+            bbox_j = bbox if self.eval_time else self._jitter_bbox(bbox, rng)
             bbox_xywh = camera_np.bbox_xyxy_to_xywh(bbox_j).astype(np.float64)
 
             fl_c, pp_c = camera_np.adjust_intrinsics_to_bbox_crop(
@@ -221,11 +232,13 @@ class Re10KDataset:
 
         imgs = np.stack(images)
         if self.color_aug:
+            # per-frame draws, matching the reference's frame loop
+            # (re10k.py:224-228)
             out = []
             for im in imgs:
-                if self.erase_aug and self.rng.uniform() < 0.15:
-                    im = self._erase(im, self.rng)
-                out.append(self._jitter(im, self.rng))
+                if self.erase_aug and rng.uniform() < 0.15:
+                    im = self._erase(im, rng)
+                out.append(self._jitter(im, rng))
             imgs = np.stack(out)
         imgs = np.clip(imgs, 0.0, 1.0)
 

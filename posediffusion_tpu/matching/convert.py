@@ -75,7 +75,8 @@ def _point_mlp(sd, prefix, seq_indices):
 def convert_superglue(sd: Dict[str, np.ndarray], gnn_layers: int = 9) -> Dict:
     """SuperGlue state dict -> params for superglue.match_pair."""
     net = {
-        "kenc": _point_mlp(sd, "kenc.encoder", [0, 3, 6, 9]),
+        # MLP([3, 32, 64, 128, 256, 256]): convs at Sequential 0,3,6,9,12
+        "kenc": _point_mlp(sd, "kenc.encoder", [0, 3, 6, 9, 12]),
         "final_proj": _conv1d_dense(sd, "final_proj"),
     }
     for i in range(2 * gnn_layers):

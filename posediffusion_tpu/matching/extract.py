@@ -63,15 +63,17 @@ def _detect(sp_params, gray, max_keypoints, nms_radius):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_hw", "sinkhorn_iterations", "match_threshold")
+    jax.jit,
+    static_argnames=("image_hw0", "image_hw1", "sinkhorn_iterations", "match_threshold"),
 )
-def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw,
+def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw0, image_hw1,
            sinkhorn_iterations, match_threshold):
     return match_pair(
         sg_params, d0[None], d1[None], k0[None], k1[None], s0[None], s1[None],
-        m0[None], m1[None], image_hw,
+        m0[None], m1[None], image_hw0,
         sinkhorn_iterations=sinkhorn_iterations,
         match_threshold=match_threshold,
+        image_hw1=image_hw1,
     )
 
 
@@ -113,7 +115,7 @@ def extract_match(
     from posediffusion_tpu.data.images import load_image_chw
 
     feats = []
-    hw = None
+    sizes = []
     for path in image_paths:
         img = load_image_chw(path)
         gray = np.tensordot(_GRAY_W, img, axes=(0, 0))
@@ -121,7 +123,7 @@ def extract_match(
         h, w = gray.shape
         ph, pw = (-h) % 8, (-w) % 8
         gray = np.pad(gray, ((0, ph), (0, pw)))
-        hw = gray.shape
+        sizes.append(gray.shape)  # per-frame size for keypoint normalization
         k, s, d, v = _detect(
             sp_params, jnp.asarray(gray)[None, None], max_keypoints, nms_radius
         )
@@ -134,7 +136,8 @@ def extract_match(
             k0, s0, d0, v0 = feats[a]
             k1, s1, d1, v1 = feats[b]
             matches0, mscores0 = _match(
-                sg_params, d0, d1, k0, k1, s0, s1, v0, v1, hw,
+                sg_params, d0, d1, k0, k1, s0, s1, v0, v1,
+                sizes[a], sizes[b],
                 sinkhorn_iterations, match_threshold,
             )
             matches0 = np.asarray(matches0)

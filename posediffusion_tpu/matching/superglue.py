@@ -114,15 +114,22 @@ class SuperGlueNet(nn.Module):
         kpts0, kpts1,          # (1, K, 2) pixel keypoints
         scores0, scores1,      # (1, K) detector scores
         mask0, mask1,          # (1, K) validity
-        image_hw: Tuple[int, int],
+        image_hw0: Tuple[int, int],
+        image_hw1: Tuple[int, int] = None,
     ):
-        h, w = image_hw
-        center = jnp.asarray([w / 2.0, h / 2.0])
-        scaling = 0.7 * max(w, h)
-        n0 = (kpts0 - center) / scaling
-        n1 = (kpts1 - center) / scaling
+        image_hw1 = image_hw1 or image_hw0
 
-        kenc = PointMLP([32, 64, 128, 256], name="kenc")
+        def norm(kpts, hw):
+            h, w = hw
+            center = jnp.asarray([w / 2.0, h / 2.0])
+            return (kpts - center) / (0.7 * max(w, h))
+
+        n0 = norm(kpts0, image_hw0)
+        n1 = norm(kpts1, image_hw1)
+
+        # MagicLeap KeypointEncoder: MLP([3] + [32, 64, 128, 256] + [256])
+        # -> 5 convs, BN+ReLU after all but the last
+        kenc = PointMLP([32, 64, 128, 256, 256], name="kenc")
         x0 = desc0 + kenc(jnp.concatenate([n0, scores0[..., None]], -1))
         x1 = desc1 + kenc(jnp.concatenate([n1, scores1[..., None]], -1))
 
@@ -207,15 +214,18 @@ def match_pair(
     image_hw: Tuple[int, int],
     sinkhorn_iterations: int = 50,
     match_threshold: float = 0.2,
+    image_hw1: Tuple[int, int] = None,
 ):
     """Match two padded keypoint sets.
 
     Returns (matches0 (K0,) int32 index into set 1 or -1, mscores0 (K0,)).
+    ``image_hw`` normalizes set 0's keypoints; pass ``image_hw1`` when the
+    two frames have different resolutions.
     """
     net = SuperGlueNet()
     scores = net.apply(
         params["net"], desc0, desc1, kpts0, kpts1, scores0, scores1,
-        mask0, mask1, image_hw,
+        mask0, mask1, image_hw, image_hw1,
     )
     Z = log_sinkhorn(
         scores, params["bin_score"], mask0, mask1, sinkhorn_iterations

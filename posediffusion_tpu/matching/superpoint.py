@@ -99,11 +99,12 @@ def _sample_descriptors(kpts_xy: jnp.ndarray, desc_grid: jnp.ndarray, s: int = 8
     Matches MagicLeap's grid_sample(align_corners=True) on cell centers.
     """
     Hc, Wc, C = desc_grid.shape
-    # pixel -> coarse-grid continuous coords (align_corners=True over the
-    # cell-center lattice)
-    xy = (kpts_xy - s / 2 + 0.5) / s
-    x = jnp.clip(xy[:, 0], 0.0, Wc - 1.0)
-    y = jnp.clip(xy[:, 1], 0.0, Hc - 1.0)
+    # MagicLeap normalization: kp' = (kp - s/2 + 0.5) / (dim*s - s/2 - 0.5)
+    # mapped by grid_sample(align_corners=True) onto [0, dim_c - 1].
+    gx = (kpts_xy[:, 0] - s / 2 + 0.5) * (Wc - 1) / (Wc * s - s / 2 - 0.5)
+    gy = (kpts_xy[:, 1] - s / 2 + 0.5) * (Hc - 1) / (Hc * s - s / 2 - 0.5)
+    x = jnp.clip(gx, 0.0, Wc - 1.0)
+    y = jnp.clip(gy, 0.0, Hc - 1.0)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, Wc - 1)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, Hc - 1)
     x1 = jnp.clip(x0 + 1, 0, Wc - 1)

@@ -102,7 +102,9 @@ class PoseDiffusionModel:
             k2,
             jnp.zeros((1, 2, c.target_dim)),
             jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 2, c.z_dim)),
+            # the denoiser consumes the extractor's actual feature width
+            # (2048 for resnet backbones, embed_dim for ViTs)
+            jnp.zeros((1, 2, self.denoiser.z_dim)),
         )
         return {"extractor": ext_params, "denoiser": den_params}
 

@@ -156,7 +156,13 @@ def mha_attention(
         mask_bias = jnp.where(mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
 
     if impl == "auto":
-        platform = jax.devices()[0].platform
-        impl = "xla" if platform == "cpu" else "pallas"
+        import os
+
+        env = os.environ.get("POSEDIFFUSION_ATTN_IMPL")
+        if env:
+            impl = env
+        else:
+            platform = jax.devices()[0].platform
+            impl = "xla" if platform == "cpu" else "pallas"
 
     return _attention_dispatch(q, k, v, mask_bias, impl)

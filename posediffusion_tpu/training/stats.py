@@ -32,6 +32,7 @@ class StatsLogger:
 
     def new_epoch(self):
         self._flush_epoch()
+        self._flushed = False
         self._epoch += 1
         self._epoch_sums = defaultdict(lambda: defaultdict(float))
         self._epoch_counts = defaultdict(lambda: defaultdict(int))
@@ -68,9 +69,16 @@ class StatsLogger:
                 parts.append(f"{k} {avg:.4f}")
         return " | ".join(parts)
 
+    def flush(self):
+        """Finalize the current epoch's averages into history/JSONL.  Call at
+        the end of training; new_epoch() flushes the previous epoch
+        automatically."""
+        self._flush_epoch()
+
     def _flush_epoch(self):
-        if self._epoch < 0:
+        if self._epoch < 0 or getattr(self, "_flushed", False):
             return
+        self._flushed = True
         record = {"epoch": self._epoch}
         for stat_set, sums in self._epoch_sums.items():
             for k in sums:
@@ -84,7 +92,6 @@ class StatsLogger:
 
     def plot(self, path: str):
         """Dump per-stat line plots (matplotlib, file only)."""
-        self._flush_epoch_view = None
         try:
             import matplotlib
 

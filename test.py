@@ -22,7 +22,7 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer)
     import jax.numpy as jnp
 
     from posediffusion_tpu.data import Co3dDataset, load_and_preprocess_images
-    from posediffusion_tpu.diffusion import make_ggs_cond_fn, pack_matches
+    from posediffusion_tpu.diffusion import pack_matches
     from posediffusion_tpu.geometry import (
         PerspectiveCameras,
         camera_to_rel_deg,
@@ -62,7 +62,7 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer)
             image_paths=image_paths, image_size=cfg.test.img_size
         )
 
-        cond_fn, cond_start_step = None, 0
+        matches, cond_start_step = None, 0
         if cfg.GGS.enable:
             from demo import get_matches
 
@@ -70,11 +70,9 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer)
             if kp1 is not None:
                 pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
                 matches = pack_matches(kp1, kp2, i12, num_frames, pad_to=pad_to)
-                hw = (cfg.test.img_size, cfg.test.img_size)
-                cond_fn = make_ggs_cond_fn(matches, hw, ggs_cfg)
                 cond_start_step = ggs_cfg.start_step
 
-        enc = infer(params, jnp.asarray(images)[None], cond_fn, cond_start_step)
+        enc = infer(params, jnp.asarray(images)[None], matches, cond_start_step)
         pred_cameras = pose_encoding_to_camera(enc)
         gt_cameras = PerspectiveCameras.create(
             R=batch["R"], T=batch["T"], focal_length=batch["fl"]
@@ -129,28 +127,37 @@ def main():
         print("WARNING: no checkpoint — evaluating random weights")
 
     ggs_cfg = build_ggs_config(cfg.GGS)
+    img_hw = (cfg.test.img_size, cfg.test.img_size)
 
-    # one jitted sampler per cond_fn identity; plain sampling compiles once
+    # Jitted samplers: matches enter the GGS sampler as a traced pytree, so
+    # one compilation covers every sequence sharing a match-count pad bucket
+    # (compiles are keyed by shape, not by sequence).
     import functools
 
-    @functools.lru_cache(maxsize=4)
-    def _plain_sampler():
-        @jax.jit
-        def f(params, images, key):
-            enc, _ = model.sample(params, images, key)
-            return enc
-        return f
+    from posediffusion_tpu.diffusion.ggs import geometry_guided_sampling
+
+    @jax.jit
+    def _plain_sampler(params, images, key):
+        enc, _ = model.sample(params, images, key)
+        return enc
+
+    @functools.partial(jax.jit, static_argnames=("cond_start_step",))
+    def _ggs_sampler(params, images, key, matches, cond_start_step):
+        cond_fn = lambda mean, t: geometry_guided_sampling(
+            mean, t, matches, img_hw, ggs_cfg
+        )
+        enc, _ = model.sample(
+            params, images, key, cond_fn=cond_fn, cond_start_step=cond_start_step
+        )
+        return enc
 
     key_holder = {"key": jax.random.PRNGKey(cfg.seed)}
 
-    def infer(params, images, cond_fn, cond_start_step):
+    def infer(params, images, matches, cond_start_step):
         key_holder["key"], sub = jax.random.split(key_holder["key"])
-        if cond_fn is None:
-            return _plain_sampler()(params, images, sub)
-        enc, _ = model.sample(
-            params, images, sub, cond_fn=cond_fn, cond_start_step=cond_start_step
-        )
-        return enc
+        if matches is None:
+            return _plain_sampler(params, images, sub)
+        return _ggs_sampler(params, images, sub, matches, cond_start_step)
 
     categories = expand_categories(
         cfg.test.category if isinstance(cfg.test.category, list) else [cfg.test.category]

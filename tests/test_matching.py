@@ -166,8 +166,8 @@ def random_superglue_sd(rng, gnn_layers=9):
         sd[f"{key}.running_mean"] = np.zeros(c, np.float32)
         sd[f"{key}.running_var"] = np.ones(c, np.float32)
 
-    dims = [3, 32, 64, 128, 256]
-    seq = [0, 3, 6, 9]
+    dims = [3, 32, 64, 128, 256, 256]
+    seq = [0, 3, 6, 9, 12]
     for li, idx in enumerate(seq):
         conv1d(f"kenc.encoder.{idx}", dims[li], dims[li + 1])
         if li < len(seq) - 1:

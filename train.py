@@ -25,10 +25,25 @@ def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event, num_work
     """Host-side loader: a worker pool decodes/augments items (PIL releases
     the GIL), the producer thread collates padded batches off the device
     path.  Replaces the torch DataLoader worker processes
-    (reference: train.py:256-274)."""
+    (reference: train.py:256-274).
+
+    The bounded queue is fed with a stop-aware put so neither side can hang:
+    exceptions are forwarded to the consumer (followed by the None sentinel)
+    instead of silently killing the epoch.
+    """
+    import queue as queue_mod
     from concurrent.futures import ThreadPoolExecutor
 
     from posediffusion_tpu.data import collate_batch
+
+    def put(item) -> bool:
+        while not stop_event.is_set():
+            try:
+                out_q.put(item, timeout=1.0)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     it = iter(sampler)
     pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
@@ -40,8 +55,12 @@ def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event, num_work
             n = batch_spec[0][1]
             bucket = sampler.bucket_for(n)
             items = list(pool.map(dataset.__getitem__, batch_spec))
-            out_q.put(collate_batch(items, pad_frames_to=bucket))
-        out_q.put(None)
+            if not put(collate_batch(items, pad_frames_to=bucket)):
+                return
+        put(None)
+    except Exception as e:  # surface loader failures in the training thread
+        put(e)
+        put(None)
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
 
@@ -55,7 +74,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from posediffusion_tpu.data import Co3dDataset, DynamicBatchSampler
+    from posediffusion_tpu.data import DynamicBatchSampler
     from posediffusion_tpu.parallel import (
         batch_sharding,
         make_mesh,
@@ -93,20 +112,9 @@ def main():
     t = cfg.train
 
     # --- data
-    common = dict(
-        category=(t.category,),
-        CO3D_DIR=t.CO3D_DIR,
-        CO3D_ANNOTATION_DIR=t.CO3D_ANNOTATION_DIR,
-        img_size=t.img_size,
-        normalize_cameras=t.normalize_cameras,
-        min_num_images=t.min_num_images,
-        first_camera_transform=t.first_camera_transform,
-        compute_optical=t.compute_optical,
-        color_aug=t.color_aug,
-        erase_aug=t.erase_aug,
-    )
-    dataset = Co3dDataset(split="train", **common)
-    eval_dataset = Co3dDataset(split="test", eval_time=True, **common)
+    from posediffusion_tpu.data.factory import get_co3d_dataset
+
+    dataset, eval_dataset = get_co3d_dataset(cfg)
     print(f"train sequences: {len(dataset)}  eval sequences: {len(eval_dataset)}")
 
     buckets = tuple(t.get("frame_buckets") or (4, 8, 16, 24, 32, 51))
@@ -155,7 +163,6 @@ def main():
                 print(f"Resumed full state from {path}")
 
     train_step = jit_train_step(make_train_step(model, optimizer, batch_repeat=t.batch_repeat))
-    eval_step = jit_train_step(make_train_step(model, optimizer, batch_repeat=0))
 
     from posediffusion_tpu.training import make_eval_step
 
@@ -207,6 +214,8 @@ def main():
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, Exception):
+                    raise RuntimeError("data producer failed") from batch
                 batch = jax.device_put(batch, batch_sharding(mesh))
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(state, batch, sub)
@@ -225,6 +234,8 @@ def main():
             path = save(cfg.exp_dir, state)
             print(f"saved checkpoint {path}")
 
+    stats.flush()
+    stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
     save(cfg.exp_dir, state)
     return True
 
