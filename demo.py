@@ -99,11 +99,14 @@ def main():
     if cfg.GGS.enable:
         kp1, kp2, i12 = get_matches(cfg, image_info, images.shape)
         if kp1 is not None:
+            from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
+
             ggs_cfg = build_ggs_config(cfg.GGS)
             pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
             matches = pack_matches(kp1, kp2, i12, n_frames, pad_to=pad_to)
+            grouped = pack_matches_grouped(kp1, kp2, i12, n_frames)
             hw = (cfg.image_size, cfg.image_size)
-            cond_fn = make_ggs_cond_fn(matches, hw, ggs_cfg)
+            cond_fn = make_ggs_cond_fn(matches, hw, ggs_cfg, grouped=grouped)
             cond_start_step = ggs_cfg.start_step
             print("=====> Sampling with GGS <=====")
         else:

@@ -290,10 +290,56 @@ def geometry_guided_sampling(
     return x
 
 
-def make_ggs_cond_fn(matches: MatchesData, image_hw: Tuple[int, int], cfg: GGSConfig):
-    """Build the cond_fn hook for the sampler."""
+def geometry_guided_sampling_fused(
+    model_mean: jnp.ndarray,
+    t,
+    grouped,  # ops.ggs_grad.GroupedMatches
+    image_hw: Tuple[int, int],
+    cfg: GGSConfig,
+) -> jnp.ndarray:
+    """5-phase GGS where each phase is ONE fused Pallas kernel (SGD loop,
+    hand-derived gradients, clip, early-stop all in VMEM).  Semantics match
+    :func:`geometry_guided_sampling`; see ops/ggs_kernel.py."""
+    del t
+    from posediffusion_tpu.ops.ggs_kernel import ggs_phase_fused
+
+    x = model_mean[0]  # (N, 9); GGS operates on single sequences
+
+    def phase(x, uR, uT, uF):
+        iters = cfg.iter_num * (2 if (uR and uT and uF) else 1)
+        return ggs_phase_fused(
+            x, grouped, image_hw, uR, uT, uF, cfg.sampson_max,
+            iters=iters, lr=cfg.learning_rate, momentum=cfg.momentum,
+            alpha=cfg.alpha, min_matches=float(cfg.min_matches),
+        )
+
+    x = phase(x, True, True, True)
+    x = phase(x, False, False, True)
+    x = phase(x, True, False, False)
+    x = phase(x, False, True, False)
+    x = phase(x, True, True, True)
+    return x[None]
+
+
+def make_ggs_cond_fn(
+    matches: MatchesData,
+    image_hw: Tuple[int, int],
+    cfg: GGSConfig,
+    grouped=None,
+):
+    """Build the cond_fn hook for the sampler.
+
+    With ``grouped`` (ops.ggs_grad.GroupedMatches) on a TPU backend, each GGS
+    phase runs as a single fused Pallas kernel; otherwise the jnp/autodiff
+    path is used (CPU, or no grouped layout supplied).
+    """
+    import jax as _jax
+
+    use_fused = grouped is not None and _jax.devices()[0].platform != "cpu"
 
     def cond_fn(mean, t):
+        if use_fused:
+            return geometry_guided_sampling_fused(mean, t, grouped, image_hw, cfg)
         return geometry_guided_sampling(mean, t, matches, image_hw, cfg)
 
     return cond_fn

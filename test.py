@@ -17,7 +17,7 @@ import os
 import numpy as np
 
 
-def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer):
+def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer, use_fused):
     import jax
     import jax.numpy as jnp
 
@@ -68,8 +68,13 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer)
 
             kp1, kp2, i12 = get_matches(cfg, image_info, images.shape)
             if kp1 is not None:
-                pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
-                matches = pack_matches(kp1, kp2, i12, num_frames, pad_to=pad_to)
+                if use_fused:
+                    from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
+
+                    matches = pack_matches_grouped(kp1, kp2, i12, num_frames)
+                else:
+                    pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
+                    matches = pack_matches(kp1, kp2, i12, num_frames, pad_to=pad_to)
                 cond_start_step = ggs_cfg.start_step
 
         enc = infer(params, jnp.asarray(images)[None], matches, cond_start_step)
@@ -134,7 +139,12 @@ def main():
     # (compiles are keyed by shape, not by sequence).
     import functools
 
-    from posediffusion_tpu.diffusion.ggs import geometry_guided_sampling
+    from posediffusion_tpu.diffusion.ggs import (
+        geometry_guided_sampling,
+        geometry_guided_sampling_fused,
+    )
+
+    _use_fused = jax.devices()[0].platform != "cpu"
 
     @jax.jit
     def _plain_sampler(params, images, key):
@@ -143,9 +153,14 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("cond_start_step",))
     def _ggs_sampler(params, images, key, matches, cond_start_step):
-        cond_fn = lambda mean, t: geometry_guided_sampling(
-            mean, t, matches, img_hw, ggs_cfg
-        )
+        if _use_fused:
+            cond_fn = lambda mean, t: geometry_guided_sampling_fused(
+                mean, t, matches, img_hw, ggs_cfg
+            )
+        else:
+            cond_fn = lambda mean, t: geometry_guided_sampling(
+                mean, t, matches, img_hw, ggs_cfg
+            )
         enc, _ = model.sample(
             params, images, key, cond_fn=cond_fn, cond_start_step=cond_start_step
         )
@@ -172,7 +187,8 @@ def main():
     for category in categories:
         print(f"----- category {category} start")
         err = _test_one_category(
-            model, params, category, cfg, ggs_cfg, cfg.test.num_frames, infer
+            model, params, category, cfg, ggs_cfg, cfg.test.num_frames, infer,
+            _use_fused,
         )
         rError = np.array(err["rError"])
         tError = np.array(err["tError"])
