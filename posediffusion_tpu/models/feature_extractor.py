@@ -30,6 +30,7 @@ class MultiScaleImageFeatureExtractor(nn.Module):
     embed_dim: int = 384
     depth: int = 12
     num_heads: int = 6
+    dtype: jnp.dtype = jnp.float32  # ViT block compute dtype
 
     @property
     def output_dim(self) -> int:
@@ -49,7 +50,7 @@ class MultiScaleImageFeatureExtractor(nn.Module):
             net = VisionTransformer(
                 patch_size=14, embed_dim=self.embed_dim, depth=self.depth,
                 num_heads=self.num_heads, pos_grid=37, layer_scale=True,
-                name="net",
+                dtype=self.dtype, name="net",
             )
         else:
             net = VisionTransformer(
@@ -57,6 +58,7 @@ class MultiScaleImageFeatureExtractor(nn.Module):
                 embed_dim=self.embed_dim,
                 depth=self.depth,
                 num_heads=self.num_heads,
+                dtype=self.dtype,
                 name="net",
             )
         img = imagenet_normalize(images_nchw)

@@ -52,6 +52,7 @@ class PoseDiffusionConfig:
     patch_size: int = 16
     scale_factors: Tuple[float, ...] = (1.0, 1.0 / 2, 1.0 / 3)
     # diffusion (reference: cfgs/default.yaml:37-40)
+    compute_dtype: str = "float32"  # "bfloat16" runs ViT blocks on the MXU fast path
     timesteps: int = 100
     beta_1: float = 1e-4
     beta_T: float = 0.1
@@ -65,6 +66,8 @@ class PoseDiffusionModel:
 
     def __init__(self, config: PoseDiffusionConfig = PoseDiffusionConfig()):
         self.config = config
+        import jax.numpy as _jnp
+
         self.extractor = MultiScaleImageFeatureExtractor(
             scale_factors=config.scale_factors,
             modelname=config.modelname,
@@ -72,6 +75,7 @@ class PoseDiffusionModel:
             embed_dim=config.z_dim if "resnet" not in config.modelname else 384,
             depth=config.vit_depth,
             num_heads=config.vit_heads,
+            dtype=_jnp.dtype(config.compute_dtype),
         )
         z_dim = self.extractor.output_dim
         self.denoiser = Denoiser(

@@ -35,31 +35,33 @@ class ViTAttention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, C = x.shape
         Dh = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(a):
             return a.reshape(B, N, self.num_heads, Dh).transpose(0, 2, 1, 3)
 
         out = mha_attention(heads(q), heads(k), heads(v))
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(self.dim, name="proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class ViTMlp(nn.Module):
     hidden_dim: int
     out_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)  # torch nn.GELU is the exact erf form
-        return nn.Dense(self.out_dim, name="fc2")(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
 
 
 class ViTBlock(nn.Module):
@@ -67,18 +69,21 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layer_scale: bool = False  # DINOv2-style LayerScale (ls1/ls2 gamma)
+    dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = ViTAttention(self.dim, self.num_heads, name="attn")(
+        # residual stream + LayerNorm stay f32; matmul-heavy blocks run in
+        # self.dtype (bfloat16 option for MXU throughput)
+        h = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        )
+        ).astype(x.dtype)
         if self.layer_scale:
             h = h * self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         x = x + h
-        h = ViTMlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+        h = ViTMlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
             nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        )
+        ).astype(x.dtype)
         if self.layer_scale:
             h = h * self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
         return x + h
@@ -94,6 +99,12 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     pos_grid: int = 14  # pos_embed trained at 224/16 = 14x14 patches
     layer_scale: bool = False  # DINOv2 variants
+    dtype: jnp.dtype = jnp.float32  # block compute dtype (bfloat16 option)
+    # Rematerialize blocks in the backward pass: at the reference's training
+    # scale (512 images x 197 tokens) the saved fc1 activations alone are
+    # ~7 GB, blowing the 16 GB HBM; remat trades ~1/3 extra forward FLOPs for
+    # O(1) activation memory.  Inference (no grad) is unaffected.
+    remat: bool = True
 
     def interpolate_pos_encoding(self, pos_embed: jnp.ndarray, h0: int, w0: int):
         """Bicubic-resample the patch position grid to (h0, w0)
@@ -136,10 +147,12 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x], axis=1)
         x = x + self.interpolate_pos_encoding(pos_embed, h0, w0)
 
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
-            x = ViTBlock(
+            x = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio,
-                layer_scale=self.layer_scale, name=f"blocks_{i}",
+                layer_scale=self.layer_scale, dtype=self.dtype,
+                name=f"blocks_{i}",
             )(x)
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)

@@ -142,9 +142,10 @@ def build_model_config(model_cfg: Config):
         dim_feedforward=tr.get("dim_feedforward", 1024),
         dropout=tr.get("dropout", 0.1),
         vit_heads=vit_heads,
-        # depth/scale_factors are TPU-framework extensions (smoke configs)
+        # depth/scale_factors/compute_dtype are TPU-framework extensions
         vit_depth=extractor.get("depth", 12),
         scale_factors=tuple(extractor.get("scale_factors", (1.0, 1.0 / 2, 1.0 / 3))),
+        compute_dtype=str(extractor.get("compute_dtype", "float32")),
         timesteps=diff.get("timesteps", 100),
         beta_1=diff.get("beta_1", 1e-4),
         beta_T=diff.get("beta_T", 0.1),
