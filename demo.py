@@ -54,7 +54,6 @@ def main():
     import jax.numpy as jnp
 
     from posediffusion_tpu.data import load_and_preprocess_images
-    from posediffusion_tpu.diffusion import make_ggs_cond_fn, pack_matches
     from posediffusion_tpu.geometry import (
         PerspectiveCameras,
         align_cameras,
@@ -99,14 +98,12 @@ def main():
     if cfg.GGS.enable:
         kp1, kp2, i12 = get_matches(cfg, image_info, images.shape)
         if kp1 is not None:
-            from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
+            from posediffusion_tpu.diffusion.ggs import build_cond_fn
 
             ggs_cfg = build_ggs_config(cfg.GGS)
-            pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
-            matches = pack_matches(kp1, kp2, i12, n_frames, pad_to=pad_to)
-            grouped = pack_matches_grouped(kp1, kp2, i12, n_frames)
             hw = (cfg.image_size, cfg.image_size)
-            cond_fn = make_ggs_cond_fn(matches, hw, ggs_cfg, grouped=grouped)
+            # packs exactly one layout (fused Pallas when it fits VMEM)
+            cond_fn = build_cond_fn(kp1, kp2, i12, n_frames, hw, ggs_cfg)
             cond_start_step = ggs_cfg.start_step
             print("=====> Sampling with GGS <=====")
         else:

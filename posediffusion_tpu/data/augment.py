@@ -141,10 +141,9 @@ class RandomErase:
     scale: Tuple[float, float] = (0.02, 0.33)
     ratio: Tuple[float, float] = (0.3, 3.3)
 
-    def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        if rng.uniform() >= self.p:
-            return img
-        _, h, w = img.shape
+    def sample_region(self, hw: Tuple[int, int], rng: np.random.Generator):
+        """One erase rectangle for an (h, w) image, or None (degenerate)."""
+        h, w = hw
         area = h * w
         for _ in range(10):
             target = rng.uniform(*self.scale) * area
@@ -152,9 +151,36 @@ class RandomErase:
             eh = int(round(np.sqrt(target * aspect)))
             ew = int(round(np.sqrt(target / aspect)))
             if eh < h and ew < w:
-                top = rng.integers(0, h - eh + 1)
-                left = rng.integers(0, w - ew + 1)
-                img = img.copy()
-                img[:, top : top + eh, left : left + ew] = 0.0
-                return img
+                top = int(rng.integers(0, h - eh + 1))
+                left = int(rng.integers(0, w - ew + 1))
+                return top, left, eh, ew
+        return None
+
+    def __call__(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if rng.uniform() >= self.p:
+            return img
+        return self.apply_once(img, rng)
+
+    def apply_once(self, img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Erase unconditionally (the caller handles the probability gate —
+        the reference's Re10K loop flips its own 0.15 coin, re10k.py:383)."""
+        region = self.sample_region(img.shape[1:], rng)
+        if region is None:
+            return img
+        top, left, eh, ew = region
+        img = img.copy()
+        img[:, top : top + eh, left : left + ew] = 0.0
         return img
+
+    def erase_batch(self, imgs: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """One p-flip and one shared region for a whole (N, 3, H, W) stack
+        (torchvision RandomErasing on the stacked tensor, co3d_v2.py:368)."""
+        if rng.uniform() >= self.p:
+            return imgs
+        region = self.sample_region(imgs.shape[2:], rng)
+        if region is None:
+            return imgs
+        top, left, eh, ew = region
+        imgs = imgs.copy()
+        imgs[:, :, top : top + eh, left : left + ew] = 0.0
+        return imgs

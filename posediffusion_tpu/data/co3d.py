@@ -265,7 +265,8 @@ class Co3dDataset:
             jitter_params = self._jitter.sample_params(rng)
             imgs = np.stack([self._jitter.apply(im, jitter_params) for im in imgs])
             if self.erase_aug:
-                imgs = np.stack([self._erase(im, rng) for im in imgs])
+                # one flip + one shared region for the whole sequence
+                imgs = self._erase.erase_batch(imgs, rng)
         batch["image"] = imgs.astype(np.float32)
 
         if return_path:

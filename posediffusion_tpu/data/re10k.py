@@ -237,7 +237,9 @@ class Re10KDataset:
             out = []
             for im in imgs:
                 if self.erase_aug and rng.uniform() < 0.15:
-                    im = self._erase(im, rng)
+                    # the 0.15 gate above is the only coin flip
+                    # (reference re10k.py:383-385)
+                    im = self._erase.apply_once(im, rng)
                 out.append(self._jitter(im, rng))
             imgs = np.stack(out)
         imgs = np.clip(imgs, 0.0, 1.0)

@@ -290,6 +290,19 @@ def geometry_guided_sampling(
     return x
 
 
+# VMEM budget for the fused kernel: every (P, Q) operand plus ~dozens of
+# temporaries stay resident in the ~16 MB core VMEM.
+MAX_FUSED_ELEMENTS = 96 * 1024  # P * Q
+
+
+def fused_fits(grouped) -> bool:
+    """Whether a GroupedMatches layout fits the fused kernel's VMEM budget."""
+    return (
+        grouped is not None
+        and grouped.kp1.shape[0] * grouped.kp1.shape[1] <= MAX_FUSED_ELEMENTS
+    )
+
+
 def geometry_guided_sampling_fused(
     model_mean: jnp.ndarray,
     t,
@@ -303,7 +316,12 @@ def geometry_guided_sampling_fused(
     del t
     from posediffusion_tpu.ops.ggs_kernel import ggs_phase_fused
 
-    x = model_mean[0]  # (N, 9); GGS operates on single sequences
+    if model_mean.shape[0] != 1:
+        raise ValueError(
+            "fused GGS conditions a single sequence (B == 1); got "
+            f"B={model_mean.shape[0]} — use the autodiff path for batches"
+        )
+    x = model_mean[0]  # (N, 9)
 
     def phase(x, uR, uT, uF):
         iters = cfg.iter_num * (2 if (uR and uT and uF) else 1)
@@ -335,11 +353,40 @@ def make_ggs_cond_fn(
     """
     import jax as _jax
 
-    use_fused = grouped is not None and _jax.devices()[0].platform != "cpu"
+    use_fused = fused_fits(grouped) and _jax.devices()[0].platform != "cpu"
 
     def cond_fn(mean, t):
         if use_fused:
             return geometry_guided_sampling_fused(mean, t, grouped, image_hw, cfg)
+        return geometry_guided_sampling(mean, t, matches, image_hw, cfg)
+
+    return cond_fn
+
+
+def build_cond_fn(kp1, kp2, i12, n_frames: int, image_hw: Tuple[int, int], cfg: GGSConfig):
+    """Pack raw host matches into exactly one layout and build the cond_fn.
+
+    Chooses the fused Pallas path (pair-grouped layout) when it fits the VMEM
+    budget on an accelerator, else the flat autodiff path — packing only the
+    layout that will actually run.
+    """
+    import jax as _jax
+    import numpy as np
+
+    from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
+
+    if _jax.devices()[0].platform != "cpu":
+        grouped = pack_matches_grouped(kp1, kp2, i12, n_frames)
+        if fused_fits(grouped):
+            def cond_fn(mean, t):
+                return geometry_guided_sampling_fused(mean, t, grouped, image_hw, cfg)
+
+            return cond_fn
+
+    pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
+    matches = pack_matches(kp1, kp2, i12, n_frames, pad_to=pad_to)
+
+    def cond_fn(mean, t):
         return geometry_guided_sampling(mean, t, matches, image_hw, cfg)
 
     return cond_fn

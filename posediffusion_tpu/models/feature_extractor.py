@@ -45,7 +45,7 @@ class MultiScaleImageFeatureExtractor(nn.Module):
             from posediffusion_tpu.models.resnet import ResNet
 
             layers = (3, 4, 23, 3) if "101" in self.modelname else (3, 4, 6, 3)
-            net = ResNet(layers=layers, name="net")
+            net = ResNet(layers=layers, dtype=self.dtype, name="net")
         elif "dinov2" in self.modelname:
             net = VisionTransformer(
                 patch_size=14, embed_dim=self.embed_dim, depth=self.depth,

@@ -38,28 +38,30 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: jnp.dtype = jnp.float32  # conv compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = BatchNormInference(self.features, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
-            padding=[(1, 1), (1, 1)], use_bias=False, name="conv2",
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         out = BatchNormInference(self.features, name="bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(
-            self.features * self.expansion, (1, 1), use_bias=False, name="conv3"
+            self.features * self.expansion, (1, 1), use_bias=False,
+            dtype=self.dtype, name="conv3",
         )(out)
         out = BatchNormInference(self.features * self.expansion, name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(
                 self.features * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
-                name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv",
             )(x)
             identity = BatchNormInference(
                 self.features * self.expansion, name="downsample_bn"
@@ -74,13 +76,14 @@ class ResNet(nn.Module):
     """
 
     layers: Tuple[int, ...] = (3, 4, 6, 3)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images_nchw: jnp.ndarray) -> jnp.ndarray:
         x = images_nchw.transpose(0, 2, 3, 1)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="conv1",
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         x = BatchNormInference(64, name="bn1")(x)
         x = nn.relu(x)
@@ -95,6 +98,7 @@ class ResNet(nn.Module):
                     features,
                     stride=stride,
                     downsample=(b == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
             features *= 2

@@ -71,6 +71,12 @@ def pack_matches_grouped(
             pi1[idx], pi2[idx] = a, b
             idx += 1
 
+    i12 = np.asarray(i12)
+    if len(i12) and not np.all(i12[:, 0] < i12[:, 1]):
+        raise ValueError(
+            "pack_matches_grouped requires ordered pairs (i12[:, 0] < i12[:, 1]); "
+            "unordered rows would be silently binned into pair slot 0"
+        )
     slots = pair_index[i12[:, 0], i12[:, 1]]
     counts = np.bincount(slots, minlength=P)
     q = int(counts.max()) if len(kp1) else 1

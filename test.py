@@ -17,12 +17,11 @@ import os
 import numpy as np
 
 
-def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer, use_fused):
+def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer, pack_for_ggs):
     import jax
     import jax.numpy as jnp
 
     from posediffusion_tpu.data import Co3dDataset, load_and_preprocess_images
-    from posediffusion_tpu.diffusion import pack_matches
     from posediffusion_tpu.geometry import (
         PerspectiveCameras,
         camera_to_rel_deg,
@@ -68,13 +67,7 @@ def _test_one_category(model, params, category, cfg, ggs_cfg, num_frames, infer,
 
             kp1, kp2, i12 = get_matches(cfg, image_info, images.shape)
             if kp1 is not None:
-                if use_fused:
-                    from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
-
-                    matches = pack_matches_grouped(kp1, kp2, i12, num_frames)
-                else:
-                    pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
-                    matches = pack_matches(kp1, kp2, i12, num_frames, pad_to=pad_to)
+                matches = pack_for_ggs(kp1, kp2, i12, num_frames)
                 cond_start_step = ggs_cfg.start_step
 
         enc = infer(params, jnp.asarray(images)[None], matches, cond_start_step)
@@ -143,8 +136,7 @@ def main():
         geometry_guided_sampling,
         geometry_guided_sampling_fused,
     )
-
-    _use_fused = jax.devices()[0].platform != "cpu"
+    from posediffusion_tpu.ops.ggs_grad import GroupedMatches
 
     @jax.jit
     def _plain_sampler(params, images, key):
@@ -153,7 +145,9 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("cond_start_step",))
     def _ggs_sampler(params, images, key, matches, cond_start_step):
-        if _use_fused:
+        # the layout encodes the path: GroupedMatches -> fused Pallas kernel,
+        # flat MatchesData -> autodiff (the packer applies the VMEM guard)
+        if isinstance(matches, GroupedMatches):
             cond_fn = lambda mean, t: geometry_guided_sampling_fused(
                 mean, t, matches, img_hw, ggs_cfg
             )
@@ -165,6 +159,19 @@ def main():
             params, images, key, cond_fn=cond_fn, cond_start_step=cond_start_step
         )
         return enc
+
+    def _pack_for_ggs(kp1, kp2, i12, num_frames):
+        """Pick + pack one match layout, honoring the fused VMEM guard."""
+        from posediffusion_tpu.diffusion import pack_matches
+        from posediffusion_tpu.diffusion.ggs import fused_fits
+        from posediffusion_tpu.ops.ggs_grad import pack_matches_grouped
+
+        if jax.devices()[0].platform != "cpu":
+            grouped = pack_matches_grouped(kp1, kp2, i12, num_frames)
+            if fused_fits(grouped):
+                return grouped
+        pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
+        return pack_matches(kp1, kp2, i12, num_frames, pad_to=pad_to)
 
     key_holder = {"key": jax.random.PRNGKey(cfg.seed)}
 
@@ -188,7 +195,7 @@ def main():
         print(f"----- category {category} start")
         err = _test_one_category(
             model, params, category, cfg, ggs_cfg, cfg.test.num_frames, infer,
-            _use_fused,
+            _pack_for_ggs,
         )
         rError = np.array(err["rError"])
         tError = np.array(err["tError"])
@@ -211,6 +218,14 @@ def main():
         if c_name == "mean":
             print("-" * 100)
         print(row)
+
+    out_path = cfg.get("results_file", "eval_results.json")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(category_dict, f, indent=2, default=float)
+        print(f"wrote {out_path}")
 
     return category_dict
 
