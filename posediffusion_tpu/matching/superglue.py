@@ -67,6 +67,11 @@ class PointMLP(nn.Module):
 
 
 class MultiHeadedAttention(nn.Module):
+    """MagicLeap's head layout is channel-INTERLEAVED: the (B, C, N) conv
+    output is viewed as (B, Dh, H, N), so head h owns channels {d*H + h} —
+    not the contiguous {h*Dh + d} split of torch.nn.MultiheadAttention.
+    Matching it exactly is required for the released weights to behave."""
+
     num_heads: int = 4
     d_model: int = 256
 
@@ -80,10 +85,12 @@ class MultiHeadedAttention(nn.Module):
         v = nn.Dense(self.d_model, name="proj_v")(value)
 
         def heads(a, n):
-            return a.reshape(B, n, self.num_heads, Dh).transpose(0, 2, 1, 3)
+            # channel c = d * H + h  ->  (B, H, n, Dh)
+            return a.reshape(B, n, Dh, self.num_heads).transpose(0, 3, 1, 2)
 
         out = mha_attention(heads(q, Nq), heads(k, Nk), heads(v, Nk), mask=mask)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
+        # back to channel c = d * H + h before the merge projection
+        out = out.transpose(0, 2, 3, 1).reshape(B, Nq, self.d_model)
         return nn.Dense(self.d_model, name="merge")(out)
 
 
