@@ -78,6 +78,7 @@ class Co3dDataset:
         compute_optical: bool = False,
         center_box: bool = True,
         sort_by_filename: bool = False,
+        mask_images: bool = False,
         color_aug: bool = True,
         erase_aug: bool = False,
         jitter_scale: Tuple[float, float] = (0.8, 1.2),
@@ -94,6 +95,7 @@ class Co3dDataset:
         self.compute_optical = compute_optical
         self.center_box = center_box
         self.sort_by_filename = sort_by_filename
+        self.mask_images = mask_images
         self.color_aug = color_aug and not eval_time
         self.erase_aug = erase_aug
         if eval_time:
@@ -158,6 +160,21 @@ class Co3dDataset:
         lr = ul + np.round(2 * extent).astype(np.int64)
         return np.concatenate([ul, lr])
 
+    def _apply_mask(self, img: np.ndarray, filepath: str, category: str,
+                    sequence_name: str) -> np.ndarray:
+        """White-out the background using the Co3D mask (reference:
+        datasets/co3d_v2.py:242-253: mask > 125 keeps the foreground)."""
+        from PIL import Image
+
+        mask_name = osp.basename(filepath).replace(".jpg", ".png")
+        mask_path = osp.join(self.CO3D_DIR, category, sequence_name, "masks", mask_name)
+        with Image.open(mask_path) as m:
+            mask = np.asarray(m.convert("L"), np.float32)
+        if mask.shape != img.shape[1:]:
+            mask = resize_bilinear_np(mask[None], img.shape[1:])[0]
+        keep = (mask > 125)[None]
+        return np.where(keep, img, 1.0).astype(np.float32)
+
     def __getitem__(self, idx_n: Tuple[int, int]) -> Dict:
         index, n_per_seq = idx_n
         seq = self.sequence_list[index]
@@ -187,6 +204,8 @@ class Co3dDataset:
         for anno in annos:
             path = osp.join(self.CO3D_DIR, anno["filepath"])
             img = load_image_chw(path)
+            if self.mask_images:
+                img = self._apply_mask(img, anno["filepath"], category, sequence_name)
             image_paths.append(path)
             h, w = img.shape[1:]
 

@@ -17,6 +17,7 @@ def get_co3d_dataset(cfg):
         min_num_images=t.min_num_images,
         first_camera_transform=t.first_camera_transform,
         compute_optical=t.compute_optical,
+        mask_images=t.get("mask_images", False),
         color_aug=t.get("color_aug", True),
         erase_aug=t.get("erase_aug", False),
     )

@@ -11,3 +11,9 @@ from posediffusion_tpu.ops.image import (
     resize_bilinear,
     scale_size,
 )
+from posediffusion_tpu.ops.ggs_grad import (
+    GroupedMatches,
+    pack_matches_grouped,
+    sampson_loss_and_grad,
+)
+from posediffusion_tpu.ops.ggs_kernel import ggs_phase_fused

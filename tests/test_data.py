@@ -170,6 +170,25 @@ class TestCo3dDataset:
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["R"], b["R"])
 
+    def test_mask_images(self, rng, tmp_path):
+        """mask_images whites out the background via the Co3D mask files."""
+        img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng)
+        # write all-zero masks (everything is background) for seq0
+        mask_dir = os.path.join(img_dir, "apple", "seq0", "masks")
+        os.makedirs(mask_dir, exist_ok=True)
+        for f in range(6):
+            Image.fromarray(np.zeros((60, 80), np.uint8)).save(
+                os.path.join(mask_dir, f"frame{f:03d}.png")
+            )
+        ds = Co3dDataset(
+            category=("apple",), split="train", CO3D_DIR=img_dir,
+            CO3D_ANNOTATION_DIR=ann_dir, min_num_images=2, img_size=32,
+            normalize_cameras=True, compute_optical=True, eval_time=True,
+            mask_images=True,
+        )
+        item = ds.get_data(sequence_name="seq0", ids=[0, 1])
+        np.testing.assert_allclose(item["image"], 1.0, atol=1e-5)
+
     def test_min_num_images_filter(self, rng, tmp_path):
         img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng, n_frames=4)
         ds = Co3dDataset(
