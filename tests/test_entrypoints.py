@@ -117,6 +117,43 @@ class TestDemoEndToEnd:
 
 
 @pytest.mark.slow
+class TestEvalEndToEnd:
+    def test_eval_harness_synthetic(self, tmp_path, rng):
+        """test.py over a synthetic Co3D fixture: per-sequence errors,
+        category table, results JSON."""
+        import shutil
+
+        from tests.test_data import make_co3d_fixture
+
+        img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng, n_seqs=2, n_frames=6)
+        shutil.copy(
+            os.path.join(ann_dir, "apple_train.jgz"),
+            os.path.join(ann_dir, "apple_test.jgz"),
+        )
+        results = tmp_path / "results.json"
+        cmd = [
+            sys.executable, "test.py",
+            f"test.CO3D_DIR={img_dir}", f"test.CO3D_ANNOTATION_DIR={ann_dir}",
+            "test.category=[apple]", "test.min_num_images=4",
+            "test.img_size=32", "test.num_frames=4",
+            "GGS.enable=False",
+            "MODEL.IMAGE_FEATURE_EXTRACTOR.depth=1",
+            "MODEL.IMAGE_FEATURE_EXTRACTOR.scale_factors=[1.0]",
+            "MODEL.DENOISER.TRANSFORMER.num_encoder_layers=1",
+            "MODEL.DIFFUSER.timesteps=5",
+            f"results_file={results}",
+        ]
+        res = subprocess.run(
+            cmd, cwd=REPO, env=TEST_ENV, capture_output=True, text=True, timeout=600
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        assert "Racc_15" in res.stdout and "mean" in res.stdout
+        data = json.loads(results.read_text())
+        assert "Auc_30" in data and "apple" in data["Auc_30"]
+        assert 0.0 <= data["Auc_30"]["apple"] <= 100.0
+
+
+@pytest.mark.slow
 class TestTrainEndToEnd:
     def test_train_two_epochs_synthetic(self, tmp_path, rng):
         from tests.test_data import make_co3d_fixture
