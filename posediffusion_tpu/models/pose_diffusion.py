@@ -37,6 +37,7 @@ class PoseDiffusionConfig:
     pose_encoding_type: str = "absT_quaR_logFL"
     target_dim: int = 9
     modelname: str = "dino_vits16"
+    freeze_extractor: bool = False  # reference IMAGE_FEATURE_EXTRACTOR.freeze
     z_dim: int = 384
     # denoiser / transformer (reference: cfgs/default.yaml:26-34)
     d_model: int = 512
@@ -133,6 +134,10 @@ class PoseDiffusionModel:
     ) -> DiffusionLoss:
         """Diffusion training loss (unreduced over (B', N, 9))."""
         z = self.extract_features(params, images)
+        if self.config.freeze_extractor:
+            # reference freeze option (image_feature_extractor.py:50-52):
+            # no gradients flow into the backbone
+            z = jax.lax.stop_gradient(z)
 
         if batch_repeat > 0:
             pose_encodings = jnp.tile(pose_encodings, (batch_repeat, 1, 1))

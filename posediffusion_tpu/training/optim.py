@@ -25,12 +25,23 @@ def warmup_cosine_restarts(
     warmup_ratio: float = 0.1,
     warmup_lr_init: float = 1e-7,
     eta_min: float = 0.0,
+    T_mult: int = 1,
 ) -> optax.Schedule:
     cycle_steps = T_0 * iters_per_epoch
     warmup_steps = int(T_0 * warmup_ratio * iters_per_epoch)
 
     def schedule(step):
-        t_cur = jnp.mod(step, cycle_steps)
+        step = jnp.asarray(step, jnp.float32)
+        if T_mult == 1:
+            t_cur = jnp.mod(step, cycle_steps)
+        else:
+            # geometric restarts (reference train_util.py:80-82): cycle i has
+            # length T_0 * T_mult^i; invert the geometric series for t_cur
+            n = jnp.floor(
+                jnp.log(step / cycle_steps * (T_mult - 1) + 1) / math.log(T_mult)
+            )
+            start = cycle_steps * (T_mult**n - 1) / (T_mult - 1)
+            t_cur = step - start
         warm = warmup_lr_init + (base_lr - warmup_lr_init) * t_cur / max(warmup_steps, 1)
         t_adj = t_cur - warmup_steps
         T_i = max(cycle_steps - warmup_steps, 1)

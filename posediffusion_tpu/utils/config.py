@@ -135,6 +135,7 @@ def build_model_config(model_cfg: Config):
     return PoseDiffusionConfig(
         pose_encoding_type=model_cfg.get("pose_encoding_type", "absT_quaR_logFL"),
         modelname=modelname,
+        freeze_extractor=bool(extractor.get("freeze", False)),
         z_dim=z_dim,
         d_model=tr.get("d_model", 512),
         nhead=tr.get("nhead", 4),

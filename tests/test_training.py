@@ -60,6 +60,52 @@ class TestSchedule:
         assert float(sched(19)) < 1e-5
         assert float(sched(20)) < float(sched(21))
 
+    def test_t_mult_matches_reference_formula(self):
+        """T_mult=2: cycles of 20, 40, 80 steps.  The reference keeps the
+        cosine period at T_0 - warmup even for longer cycles (its quirk,
+        train_util.py:86-91); parity is against that exact formula."""
+        base_lr, T_0, ipe, ratio, init, T_mult = 1e-4, 2, 10, 0.1, 1e-7, 2
+        sched = warmup_cosine_restarts(base_lr, T_0, ipe, ratio, init, T_mult=T_mult)
+        cycle = T_0 * ipe
+        warmup_iters = int(T_0 * ratio * ipe)
+        for step in [0, 2, 19, 20, 21, 25, 59, 60, 61, 100]:
+            n = int(math.log(step / cycle * (T_mult - 1) + 1, T_mult)) if step else 0
+            t_cur = step - cycle * (T_mult**n - 1) // (T_mult - 1)
+            if t_cur < warmup_iters:
+                expected = init + (base_lr - init) * t_cur / warmup_iters
+            else:
+                t_adj = t_cur - warmup_iters
+                T_i = cycle - warmup_iters
+                expected = base_lr * (1 + math.cos(math.pi * t_adj / T_i)) / 2
+            assert float(sched(step)) == pytest.approx(expected, rel=1e-4), step
+        # restarts land at 20 and 60
+        assert float(sched(20)) < float(sched(21))
+        assert float(sched(60)) < float(sched(61))
+
+    def test_freeze_extractor_zero_backbone_grads(self, rng):
+        from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
+
+        cfg = PoseDiffusionConfig(
+            z_dim=16, d_model=32, nhead=2, num_encoder_layers=1,
+            dim_feedforward=32, vit_depth=1, vit_heads=2, timesteps=4,
+            scale_factors=(1.0,), freeze_extractor=True,
+        )
+        model = PoseDiffusionModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        batch = make_batch(rng, B=1, N=2, hw=32)
+
+        def loss_fn(p):
+            return model.loss(
+                p, batch["images"], batch["pose_encodings"],
+                jax.random.PRNGKey(0), train=False,
+            ).loss.mean()
+
+        g = jax.grad(loss_fn)(params)
+        ext_norm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["extractor"]))
+        den_norm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g["denoiser"]))
+        assert ext_norm == 0.0
+        assert den_norm > 0.0
+
 
 class TestTrainStep:
     def test_loss_decreases_single_device(self, rng):
