@@ -4,7 +4,11 @@ from posediffusion_tpu.training.checkpoints import (
     restore,
     save,
 )
-from posediffusion_tpu.training.optim import make_optimizer, warmup_cosine_restarts
+from posediffusion_tpu.training.optim import (
+    freeze_labels_for,
+    make_optimizer,
+    warmup_cosine_restarts,
+)
 from posediffusion_tpu.training.stats import StatsLogger
 from posediffusion_tpu.training.step import (
     TrainState,

@@ -58,7 +58,15 @@ def make_optimizer(
     clip_grad: float = 1.0,
     weight_decay: float = 0.01,
     warmup_ratio: float = 0.1,
+    frozen_labels=None,
 ):
+    """AdamW with clip + schedule.
+
+    ``frozen_labels``: optional pytree (matching the params) of
+    "train"/"frozen" strings; frozen leaves get no update at all.  This
+    matters beyond zero gradients — AdamW's decoupled weight decay would
+    otherwise still shrink frozen parameters every step.
+    """
     schedule = warmup_cosine_restarts(lr, T_0, iters_per_epoch, warmup_ratio)
     chain = []
     if clip_grad and clip_grad > 0:
@@ -66,4 +74,19 @@ def make_optimizer(
     chain.append(
         optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
     )
-    return optax.chain(*chain), schedule
+    tx = optax.chain(*chain)
+    if frozen_labels is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, param_labels=frozen_labels
+        )
+    return tx, schedule
+
+
+def freeze_labels_for(params, frozen_top_keys=("extractor",)):
+    """Label pytree marking whole top-level subtrees as frozen."""
+    import jax
+
+    return {
+        k: jax.tree.map(lambda _: "frozen" if k in frozen_top_keys else "train", v)
+        for k, v in params.items()
+    }

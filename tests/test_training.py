@@ -82,6 +82,35 @@ class TestSchedule:
         assert float(sched(20)) < float(sched(21))
         assert float(sched(60)) < float(sched(61))
 
+    def test_frozen_params_not_decayed(self, rng):
+        """Frozen subtrees must not move at all — AdamW's decoupled weight
+        decay would otherwise shrink them despite zero gradients."""
+        from posediffusion_tpu.training import freeze_labels_for
+
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        labels = freeze_labels_for(params)
+        opt, _ = make_optimizer(lr=1e-3, T_0=10, iters_per_epoch=10,
+                                weight_decay=0.1, frozen_labels=labels)
+        state = TrainState.create(jax.tree.map(jnp.copy, params), opt)
+        step_fn = jit_train_step(make_train_step(model, opt, compute_metrics=False))
+        batch = make_batch(rng, B=2)
+        for i in range(3):
+            state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+        for a, b in zip(
+            jax.tree.leaves(state.params["extractor"]),
+            jax.tree.leaves(params["extractor"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        moved = any(
+            np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+            for a, b in zip(
+                jax.tree.leaves(state.params["denoiser"]),
+                jax.tree.leaves(params["denoiser"]),
+            )
+        )
+        assert moved
+
     def test_freeze_extractor_zero_backbone_grads(self, rng):
         from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
 

@@ -141,9 +141,15 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"params: {n_params/1e6:.1f}M")
 
+    frozen_labels = None
+    if cfg.MODEL.get_path("IMAGE_FEATURE_EXTRACTOR.freeze", False):
+        from posediffusion_tpu.training import freeze_labels_for
+
+        frozen_labels = freeze_labels_for(params)
+        print("extractor frozen: no updates (incl. weight decay) to backbone")
     optimizer, schedule = make_optimizer(
         lr=t.lr, T_0=t.restart_num, iters_per_epoch=t.len_train,
-        clip_grad=t.clip_grad,
+        clip_grad=t.clip_grad, frozen_labels=frozen_labels,
     )
     state = TrainState.create(params, optimizer)
 
