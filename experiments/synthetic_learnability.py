@@ -118,6 +118,104 @@ def make_batch(rng, texture, B, N, img_size, fl=2.0):
     }
 
 
+def project_points(Xw, R, T, fl, img_size):
+    """World points -> pixel coords + NDC-visibility mask (one camera)."""
+    xv = Xw @ R + T
+    ndc = fl * xv[:, :2] / xv[:, 2:3]
+    s = img_size / 2.0
+    px = -ndc[:, 0] * s + img_size / 2.0
+    py = -ndc[:, 1] * s + img_size / 2.0
+    vis = (np.abs(ndc) < 0.95).all(axis=1) & (xv[:, 2] > 0.1)
+    return np.stack([px, py], -1), vis
+
+
+def make_eval_sequence_with_matches(rng, texture, N, img_size, fl=2.0):
+    """One eval sequence + exact two-view correspondences from the renderer."""
+    import jax.numpy as jnp
+
+    from posediffusion_tpu.data.camera_np import matrix_to_quaternion, normalize_cameras
+    from posediffusion_tpu.geometry.pose_codec import LOG_FL_BIAS
+
+    Rs, Ts, imgs = [], [], []
+    for n in range(N):
+        az = rng.uniform(0, 2 * np.pi)
+        el = rng.uniform(0.6, 1.3)
+        r = rng.uniform(2.5, 4.0)
+        center = np.array(
+            [r * np.cos(el) * np.cos(az), r * np.cos(el) * np.sin(az), -r * np.sin(el)]
+        )
+        target = rng.uniform(-0.2, 0.2, 3) * np.array([1, 1, 0])
+        R, T = look_at_camera(center, target)
+        imgs.append(render_plane(texture, R, T, fl, img_size))
+        Rs.append(R)
+        Ts.append(T)
+    R = np.stack(Rs)
+    T = np.stack(Ts)
+
+    # exact matches: plane points projected into every ordered pair
+    Xw = np.concatenate(
+        [rng.uniform(-1.0, 1.0, size=(400, 2)), np.zeros((400, 1))], axis=1
+    )
+    kp1, kp2, i12 = [], [], []
+    for a in range(N):
+        pa, va = project_points(Xw, R[a], T[a], fl, img_size)
+        for b in range(a + 1, N):
+            pb, vb = project_points(Xw, R[b], T[b], fl, img_size)
+            keep = va & vb
+            if keep.sum() < 10:
+                continue
+            kp1.append(pa[keep])
+            kp2.append(pb[keep])
+            i12.append(np.repeat([[a, b]], keep.sum(), axis=0))
+    kp1 = np.concatenate(kp1).astype(np.float32)
+    kp2 = np.concatenate(kp2).astype(np.float32)
+    i12 = np.concatenate(i12)
+
+    fls = np.full((N, 2), fl)
+    Rn, Tn = normalize_cameras(
+        R, T, fls, np.zeros((N, 2)), compute_optical=True, first_camera=True
+    )
+    quat = matrix_to_quaternion(Rn)
+    log_fl = np.log(np.full((N, 2), fl)) - LOG_FL_BIAS
+    enc = np.concatenate([Tn, quat, log_fl], -1).astype(np.float32)
+    return (
+        jnp.asarray(np.stack(imgs)[None]),
+        jnp.asarray(enc[None]),
+        (kp1, kp2, i12),
+    )
+
+
+def evaluate_ggs(model, params, texture, img_size, n_seqs=6, N=6, seed0=20_000):
+    """Racc/Tacc with and without GGS conditioning (exact matches)."""
+    import jax
+    import jax.numpy as jnp
+
+    from posediffusion_tpu.diffusion.ggs import GGSConfig, build_cond_fn
+    from posediffusion_tpu.training import pose_metrics
+
+    cfg = GGSConfig(start_step=10, iter_num=100)
+    rows = {"plain": ([], []), "ggs": ([], [])}
+    for i in range(n_seqs):
+        erng = np.random.default_rng(seed0 + i)
+        images, enc, (kp1, kp2, i12) = make_eval_sequence_with_matches(
+            erng, texture, N, img_size
+        )
+        cond_fn = build_cond_fn(kp1, kp2, i12, N, (img_size, img_size), cfg)
+        for mode, cf, css in (("plain", None, 0), ("ggs", cond_fn, cfg.start_step)):
+            out, _ = jax.jit(
+                lambda p, im, k, cf=cf, css=css: model.sample(
+                    p, im, k, cond_fn=cf, cond_start_step=css
+                )
+            )(params, images, jax.random.PRNGKey(seed0 + i))
+            m = pose_metrics(out, enc)
+            rows[mode][0].append(float(m["Racc_15"]))
+            rows[mode][1].append(float(m["Tacc_15"]))
+    return {
+        mode: (float(np.mean(r)), float(np.mean(t)))
+        for mode, (r, t) in rows.items()
+    }
+
+
 def main():
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     steps = int(args.get("steps", 1500))
@@ -183,12 +281,20 @@ def main():
     r1, t1 = evaluate(state.params)
     print(f"after  training: Racc@15 {r1:.3f}  Tacc@15 {t1:.3f}", flush=True)
 
+    ggs_rows = {}
+    if args.get("ggs", "1") != "0":
+        print("evaluating GGS with exact rendered correspondences...", flush=True)
+        ggs_rows = evaluate_ggs(model, state.params, texture, img_size)
+        for mode, (r, t) in ggs_rows.items():
+            print(f"  {mode:>5}: Racc@15 {r:.3f}  Tacc@15 {t:.3f}", flush=True)
+
     summary = {
         "steps": steps,
         "loss_first": losses[0] if losses else None,
         "loss_last": float(jax.device_get(metrics["loss"])),
         "Racc15_before": r0, "Tacc15_before": t0,
         "Racc15_after": r1, "Tacc15_after": t1,
+        "ggs_eval": {k: {"Racc15": v[0], "Tacc15": v[1]} for k, v in ggs_rows.items()},
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)

@@ -11,10 +11,14 @@ from posediffusion_tpu.diffusion.gaussian import (
 from posediffusion_tpu.diffusion.ggs import (
     GGSConfig,
     MatchesData,
+    build_cond_fn,
     compute_sampson_loss,
+    fused_fits,
     geometry_guided_sampling,
+    geometry_guided_sampling_fused,
     make_ggs_cond_fn,
     pack_matches,
+    sampson_report,
 )
 from posediffusion_tpu.diffusion.schedule import (
     DiffusionSchedule,
