@@ -12,11 +12,11 @@ SURVEY.md N5).  Architecture parity with facebookresearch/dino's
   LN -> MLP(4x, exact GELU),
 * final LN; the forward feature is the CLS token.
 
-Attention dispatches through the fused Pallas kernel on TPU.  Note:
-torch's bicubic uses the Keys kernel with a=-0.75 while jax.image uses
-a=-0.5; the position-embedding field is smooth so the difference is ~1e-3
-feature-level — validated statistically rather than bitwise (SURVEY.md
-"randomness parity").
+Attention dispatches through the fused Pallas kernel on TPU.  Position
+embeddings interpolate with exact torch bicubic semantics (Keys a=-0.75,
+ops.image.resize_bicubic_torch, pinned against F.interpolate in tests);
+DINO's +0.1 scale-factor fudge shifts the grid by <2% of a cell and is the
+only remaining (negligible) deviation.
 """
 
 from __future__ import annotations
@@ -24,7 +24,6 @@ from __future__ import annotations
 import math
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -107,17 +106,18 @@ class VisionTransformer(nn.Module):
     remat: bool = True
 
     def interpolate_pos_encoding(self, pos_embed: jnp.ndarray, h0: int, w0: int):
-        """Bicubic-resample the patch position grid to (h0, w0)
-        (DINO vision_transformer.interpolate_pos_encoding)."""
+        """Bicubic-resample the patch position grid to (h0, w0) with exact
+        torch bicubic semantics (Keys a=-0.75, DINO
+        vision_transformer.interpolate_pos_encoding)."""
+        from posediffusion_tpu.ops.image import resize_bicubic_torch
+
         cls_pos = pos_embed[:, :1]
         patch_pos = pos_embed[:, 1:]
         g = self.pos_grid
         if h0 == g and w0 == g:
             return pos_embed
         patch_pos = patch_pos.reshape(1, g, g, self.embed_dim)
-        patch_pos = jax.image.resize(
-            patch_pos, (1, h0, w0, self.embed_dim), method="cubic", antialias=False
-        )
+        patch_pos = resize_bicubic_torch(patch_pos, (h0, w0))
         patch_pos = patch_pos.reshape(1, h0 * w0, self.embed_dim)
         return jnp.concatenate([cls_pos, patch_pos], axis=1)
 

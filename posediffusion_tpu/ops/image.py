@@ -42,6 +42,45 @@ def scale_size(side: int, scale_factor: float) -> int:
     return int(side * scale_factor)
 
 
+def _cubic_weight_matrix(in_size: int, out_size: int, a: float = -0.75):
+    """(out, in) interpolation matrix for torch bicubic semantics: Keys
+    kernel with a=-0.75, half-pixel centers (align_corners=False), edge
+    clamping.  Sizes are static, so this is a trace-time numpy constant."""
+    import numpy as np
+
+    def kernel(t):
+        t = np.abs(t)
+        w = np.where(
+            t <= 1,
+            (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+        return w
+
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    W = np.zeros((out_size, in_size), np.float32)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(x0 + tap, 0, in_size - 1)
+        w = kernel(x - (x0 + tap))
+        np.add.at(W, (np.arange(out_size), idx), w.astype(np.float32))
+    return W
+
+
+def resize_bicubic_torch(x: jnp.ndarray, out_hw: Tuple[int, int], a: float = -0.75):
+    """Bicubic resize of (..., H, W, C) with exact torch
+    ``F.interpolate(mode="bicubic", align_corners=False)`` semantics (Keys
+    a=-0.75; jax.image's "cubic" uses a=-0.5).  Used for DINO position-
+    embedding interpolation so converted checkpoints see the same grid."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    Wh = jnp.asarray(_cubic_weight_matrix(h, oh, a))
+    Ww = jnp.asarray(_cubic_weight_matrix(w, ow, a))
+    x = jnp.einsum("oh,...hwc->...owc", Wh, x)
+    return jnp.einsum("pw,...owc->...opc", Ww, x)
+
+
 def center_crop_square(image_hw3: jnp.ndarray) -> jnp.ndarray:
     """Center square crop of an (H, W, C) image (host-side helper twin lives
     in data/images.py for PIL inputs)."""

@@ -83,6 +83,21 @@ class TestImageOps:
         ).reshape(1, 3, 1, 1)
         np.testing.assert_allclose(out, expected, atol=1e-6)
 
+    def test_bicubic_matches_torch(self, rng):
+        """resize_bicubic_torch == F.interpolate(mode='bicubic') exactly
+        (both up- and down-sampling)."""
+        torch = pytest.importorskip("torch")
+        from posediffusion_tpu.ops.image import resize_bicubic_torch
+
+        x = rng.normal(size=(1, 14, 14, 5)).astype(np.float32)
+        for out in ((7, 7), (4, 4), (20, 20), (9, 13)):
+            ours = np.asarray(resize_bicubic_torch(jnp.asarray(x), out))
+            ref = torch.nn.functional.interpolate(
+                torch.tensor(x).permute(0, 3, 1, 2), size=out,
+                mode="bicubic", align_corners=False,
+            ).permute(0, 2, 3, 1).numpy()
+            np.testing.assert_allclose(ours, ref, atol=2e-5, err_msg=str(out))
+
     def test_resize_matches_torch_bilinear(self, rng):
         torch = pytest.importorskip("torch")
         img = rng.uniform(size=(1, 3, 16, 16)).astype(np.float32)
