@@ -12,8 +12,6 @@ world-to-view extrinsics, NDC intrinsics, wxyz quaternions.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 

@@ -21,11 +21,7 @@ import jax.numpy as jnp
 
 from posediffusion_tpu.utils.precision import highp
 
-from posediffusion_tpu.geometry.cameras import (
-    PerspectiveCameras,
-    optical_axes,
-    world_to_view_matrix,
-)
+from posediffusion_tpu.geometry.cameras import PerspectiveCameras, optical_axes
 from posediffusion_tpu.geometry.lines import intersect_skew_lines
 
 

@@ -19,8 +19,6 @@ detector jits once per image size.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

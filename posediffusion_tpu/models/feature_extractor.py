@@ -9,12 +9,12 @@ trace into one XLA program; the resizes fuse with the normalize.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from posediffusion_tpu.models.vit import VisionTransformer, vit_small
+from posediffusion_tpu.models.vit import VisionTransformer
 from posediffusion_tpu.ops.image import imagenet_normalize, resize_bilinear, scale_size
 
 

@@ -13,7 +13,7 @@ from ImageNet weights, which convert via ``convert_resnet``).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,9 +21,6 @@ only remaining (negligible) deviation.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -12,7 +12,7 @@ memory demands it — GSPMD inserts the all-gathers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ converter (``load_reference_checkpoint``).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp

@@ -11,8 +11,7 @@ their sharding) can be FSDP-sharded via parallel.mesh.param_shardings.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

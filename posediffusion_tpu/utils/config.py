@@ -15,7 +15,6 @@ onto :class:`PoseDiffusionConfig`.
 
 from __future__ import annotations
 
-import copy
 import os
 from typing import Any, Dict, List, Optional
 

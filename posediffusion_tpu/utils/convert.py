@@ -31,7 +31,6 @@ Input is a flat ``{key: np.ndarray}`` dict — call
 
 from __future__ import annotations
 
-import re
 from typing import Dict
 
 import numpy as np

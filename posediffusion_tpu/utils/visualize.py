@@ -8,7 +8,7 @@ by frame index, one subplot per camera set.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

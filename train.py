@@ -18,7 +18,6 @@ thread prefetching the host-side data pipeline.
 import os
 import queue
 import threading
-import time
 
 
 def data_producer(dataset, sampler, out_q, n_epoch_batches, stop_event, num_workers=8):
@@ -71,16 +70,9 @@ def main():
     from posediffusion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax.numpy as jnp
-    import numpy as np
 
     from posediffusion_tpu.data import DynamicBatchSampler
-    from posediffusion_tpu.parallel import (
-        batch_sharding,
-        make_mesh,
-        param_shardings,
-        replicated,
-    )
+    from posediffusion_tpu.parallel import batch_sharding, make_mesh, param_shardings
     from posediffusion_tpu.training import (
         StatsLogger,
         TrainState,
