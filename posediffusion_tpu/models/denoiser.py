@@ -40,6 +40,7 @@ class Denoiser(nn.Module):
     num_encoder_layers: int = 8
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: "jnp.dtype" = None  # trunk matmul dtype (None -> float32)
 
     @nn.compact
     def __call__(
@@ -70,6 +71,7 @@ class Denoiser(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout,
+            dtype=self.dtype or jnp.float32,
             name="trunk",
         )(h, mask=mask, deterministic=deterministic)
 

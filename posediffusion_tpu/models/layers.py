@@ -103,6 +103,7 @@ class SelfAttention(nn.Module):
     nhead: int
     dropout: float = 0.0
     kernel_init: nn.initializers.Initializer = default_kernel_init
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -113,7 +114,8 @@ class SelfAttention(nn.Module):
     ) -> jnp.ndarray:
         B, N, _ = x.shape
         Dh = self.d_model // self.nhead
-        qkv = nn.Dense(3 * self.d_model, kernel_init=self.kernel_init, name="in_proj")(x)
+        qkv = nn.Dense(3 * self.d_model, kernel_init=self.kernel_init,
+                       dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(a):
@@ -136,8 +138,9 @@ class SelfAttention(nn.Module):
         else:
             out = mha_attention(q, k, v, mask=mask)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.d_model)
-        return nn.Dense(self.d_model, kernel_init=self.kernel_init, name="out_proj")(out)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, self.d_model).astype(self.dtype)
+        return nn.Dense(self.d_model, kernel_init=self.kernel_init,
+                        dtype=self.dtype, name="out_proj")(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -148,6 +151,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     layer_norm_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32  # matmul compute dtype; LN/residual f32
 
     @nn.compact
     def __call__(
@@ -157,17 +161,20 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x)
-        h = SelfAttention(self.d_model, self.nhead, self.dropout, name="self_attn")(
+        h = SelfAttention(self.d_model, self.nhead, self.dropout,
+                          dtype=self.dtype, name="self_attn")(
             h, mask=mask, deterministic=deterministic
-        )
+        ).astype(x.dtype)
         h = nn.Dropout(self.dropout, name="dropout1")(h, deterministic=deterministic)
         x = x + h
 
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x)
-        h = nn.Dense(self.dim_feedforward, kernel_init=default_kernel_init, name="linear1")(h)
+        h = nn.Dense(self.dim_feedforward, kernel_init=default_kernel_init,
+                     dtype=self.dtype, name="linear1")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, name="dropout_ff")(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, kernel_init=default_kernel_init, name="linear2")(h)
+        h = nn.Dense(self.d_model, kernel_init=default_kernel_init,
+                     dtype=self.dtype, name="linear2")(h).astype(x.dtype)
         h = nn.Dropout(self.dropout, name="dropout2")(h, deterministic=deterministic)
         return x + h
 
@@ -181,6 +188,7 @@ class TransformerEncoder(nn.Module):
     num_encoder_layers: int = 8
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -195,6 +203,7 @@ class TransformerEncoder(nn.Module):
                 self.nhead,
                 self.dim_feedforward,
                 self.dropout,
+                dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, mask=mask, deterministic=deterministic)
         return x

@@ -54,6 +54,11 @@ class PoseDiffusionConfig:
     scale_factors: Tuple[float, ...] = (1.0, 1.0 / 2, 1.0 / 3)
     # diffusion (reference: cfgs/default.yaml:37-40)
     compute_dtype: str = "float32"  # "bfloat16" runs ViT blocks on the MXU fast path
+    # "bfloat16" streams bf16 denoiser weights + runs the trunk matmuls in
+    # bf16 during sampling (params stay f32 in the train state).  Measured
+    # neutral for latency on v5e (the sampler is not weight-bound at these
+    # sizes); provided for memory-constrained or other-generation setups.
+    denoiser_dtype: str = "float32"
     timesteps: int = 100
     beta_1: float = 1e-4
     beta_T: float = 0.1
@@ -89,6 +94,7 @@ class PoseDiffusionModel:
             num_encoder_layers=config.num_encoder_layers,
             dim_feedforward=config.dim_feedforward,
             dropout=config.dropout,
+            dtype=_jnp.dtype(config.denoiser_dtype),
         )
         self.schedule: DiffusionSchedule = make_schedule(
             timesteps=config.timesteps,
@@ -193,8 +199,18 @@ class PoseDiffusionModel:
         z = self.extract_features(params, images)
         B, N = z.shape[:2]
 
+        denoiser_params = params["denoiser"]
+        if self.config.denoiser_dtype == "bfloat16":
+            # cast the streamed weights themselves: the sequential sampler is
+            # bound by per-step HBM weight traffic, which this halves
+            denoiser_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a,
+                denoiser_params,
+            )
+
         def model_fn(x, tt):
-            return self.denoiser.apply(params["denoiser"], x, tt, z, mask=mask)
+            return self.denoiser.apply(denoiser_params, x, tt, z, mask=mask)
 
         shape = (B, N, self.config.target_dim)
         if (
