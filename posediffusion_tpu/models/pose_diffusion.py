@@ -59,6 +59,9 @@ class PoseDiffusionConfig:
     # neutral for latency on v5e (the sampler is not weight-bound at these
     # sizes); provided for memory-constrained or other-generation setups.
     denoiser_dtype: str = "float32"
+    # Run the sampler's denoiser trunk as one fused Pallas kernel per step
+    # (B == 1, eval mode).  Falls back to the Flax path on CPU / batched use.
+    fused_sampler: bool = True
     timesteps: int = 100
     beta_1: float = 1e-4
     beta_T: float = 0.1
@@ -209,8 +212,25 @@ class PoseDiffusionModel:
                 denoiser_params,
             )
 
-        def model_fn(x, tt):
-            return self.denoiser.apply(denoiser_params, x, tt, z, mask=mask)
+        use_fused = (
+            self.config.fused_sampler
+            and B == 1
+            and self.config.denoiser_dtype == "float32"
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        if use_fused:
+            from posediffusion_tpu.models.denoiser import denoiser_apply_fused
+
+            def model_fn(x, tt):
+                return denoiser_apply_fused(
+                    denoiser_params, x, tt, z, mask=mask,
+                    nhead=self.config.nhead,
+                    num_encoder_layers=self.config.num_encoder_layers,
+                    pivot_cam_onehot=self.config.pivot_cam_onehot,
+                )
+        else:
+            def model_fn(x, tt):
+                return self.denoiser.apply(denoiser_params, x, tt, z, mask=mask)
 
         shape = (B, N, self.config.target_dim)
         if (
