@@ -42,18 +42,23 @@ def main():
     # R sequential end-to-end inferences inside ONE device program: host<->
     # device round-trip latency (which can dominate through remote tunnels)
     # amortizes away, so value = per-inference device time.  lax.map is
-    # sequential, so this measures latency, not batching throughput.
+    # sequential, so this measures latency, not batching throughput.  The
+    # images are perturbed per iteration so XLA cannot hoist the (key-
+    # independent) feature extractor out of the loop — each iteration pays
+    # the FULL extractor + sampler cost, like a real per-sequence inference.
     R = 10
 
     @jax.jit
     def infer_chain(params, images, key):
         keys = jax.random.split(key, R)
+        idx = jnp.arange(R, dtype=jnp.float32)
 
-        def one(k):
-            enc, _ = model.sample(params, images, k)
+        def one(ik):
+            i, k = ik
+            enc, _ = model.sample(params, images + i * 1e-12, k)
             return enc
 
-        return jax.lax.map(one, keys)
+        return jax.lax.map(one, (idx, keys))
 
     for i in range(WARMUP):
         jax.device_get(jnp.sum(infer_chain(params, images, jax.random.PRNGKey(i))))

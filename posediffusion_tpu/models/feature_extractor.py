@@ -73,3 +73,82 @@ class MultiScaleImageFeatureExtractor(nn.Module):
             feat = net(inp)
             total = feat if total is None else total + feat
         return total / len(self.scale_factors)
+
+
+def extract_features_fused(
+    variables,
+    images_nchw: jnp.ndarray,  # (B, 3, H, W) in [0, 1]
+    scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3),
+    patch_size: int = 16,
+    embed_dim: int = 384,
+    depth: int = 12,
+    num_heads: int = 6,
+    pos_grid: int = 14,
+    chunk: int = 2,
+    act_bf16: bool = False,
+) -> jnp.ndarray:
+    """Inference-path multiscale extraction with the ViT trunk as ONE Pallas
+    kernel per scale (ops/vit_kernel.py).  Patch embed, position-embedding
+    interpolation, final LN, and the multiscale average stay in XLA.
+    Numerically pinned against the Flax extractor in tests (bf16 trunk
+    weights; exact with weight_dtype=float32)."""
+    import jax
+
+    from posediffusion_tpu.ops.image import resize_bicubic_torch
+    from posediffusion_tpu.ops.vit_kernel import fused_vit_trunk, stack_vit_params
+
+    p = variables["params"]["net"]
+    stacks = stack_vit_params(p, depth)
+    cls_token = p["cls_token"]
+    pos_embed = p["pos_embed"]
+    conv_k = p["patch_embed"]["kernel"]
+    conv_b = p["patch_embed"]["bias"]
+    norm_g = p["norm"]["scale"]
+    norm_b = p["norm"]["bias"]
+
+    img = imagenet_normalize(images_nchw)
+    B, _, H, W = img.shape
+
+    def run_scale(inp):
+        x = jax.lax.conv_general_dilated(
+            inp.transpose(0, 2, 3, 1),
+            conv_k,
+            window_strides=(patch_size, patch_size),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + conv_b
+        _, h0, w0, _ = x.shape
+        x = x.reshape(B, h0 * w0, embed_dim)
+        if (h0, w0) == (pos_grid, pos_grid):
+            pe = pos_embed
+        else:
+            patch_pos = pos_embed[:, 1:].reshape(1, pos_grid, pos_grid, embed_dim)
+            patch_pos = resize_bicubic_torch(patch_pos, (h0, w0))
+            pe = jnp.concatenate(
+                [pos_embed[:, :1], patch_pos.reshape(1, h0 * w0, embed_dim)], axis=1
+            )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (B, 1, embed_dim)), x], axis=1
+        ) + pe
+        # smaller scales have fewer tokens -> bigger image chunks at the
+        # same VMEM footprint (fewer sequential kernel-loop iterations)
+        n_tok = x.shape[1]
+        eff_chunk = min(B, max(chunk, chunk * (197 // n_tok)))
+        x = fused_vit_trunk(
+            x, stacks, nhead=num_heads, chunk=eff_chunk, act_bf16=act_bf16
+        )
+        # final LN + CLS
+        cls = x[:, 0]
+        mean = jnp.mean(cls, axis=-1, keepdims=True)
+        var = jnp.mean((cls - mean) ** 2, axis=-1, keepdims=True)
+        return (cls - mean) * jax.lax.rsqrt(var + 1e-6) * norm_g + norm_b
+
+    total = None
+    for s in scale_factors:
+        if s == 1:
+            inp = img
+        else:
+            inp = resize_bilinear(img, (scale_size(H, s), scale_size(W, s)))
+        feat = run_scale(inp)
+        total = feat if total is None else total + feat
+    return total / len(scale_factors)

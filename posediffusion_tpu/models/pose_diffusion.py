@@ -123,11 +123,29 @@ class PoseDiffusionModel:
         return {"extractor": ext_params, "denoiser": den_params}
 
     # -------------------------------------------------------------- features
-    def extract_features(self, params, images: jnp.ndarray) -> jnp.ndarray:
-        """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT."""
+    def extract_features(
+        self, params, images: jnp.ndarray, fused: bool = False
+    ) -> jnp.ndarray:
+        """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT.
+
+        ``fused`` routes the trunk through the single-kernel Pallas path
+        (inference; plain dino ViT backbones only).
+        """
         B, N = images.shape[:2]
         flat = images.reshape(B * N, *images.shape[2:])
-        z = self.extractor.apply(params["extractor"], flat)
+        if fused:
+            from posediffusion_tpu.models.feature_extractor import (
+                extract_features_fused,
+            )
+
+            c = self.config
+            z = extract_features_fused(
+                params["extractor"], flat,
+                scale_factors=c.scale_factors, patch_size=c.patch_size,
+                embed_dim=c.z_dim, depth=c.vit_depth, num_heads=c.vit_heads,
+            )
+        else:
+            z = self.extractor.apply(params["extractor"], flat)
         return z.reshape(B, N, -1)
 
     # ------------------------------------------------------------------ loss
@@ -199,7 +217,13 @@ class PoseDiffusionModel:
         ``sampling_timesteps`` < num_timesteps switches to DDIM with that
         many steps (deterministic for eta=0).
         """
-        z = self.extract_features(params, images)
+        fused_extract = (
+            self.config.fused_sampler
+            and self.config.modelname.startswith("dino_vit")
+            and self.config.compute_dtype == "float32"
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        z = self.extract_features(params, images, fused=fused_extract)
         B, N = z.shape[:2]
 
         denoiser_params = params["denoiser"]
