@@ -32,11 +32,21 @@ class DynamicBatchSampler:
         frame_buckets: Optional[Sequence[int]] = DEFAULT_FRAME_BUCKETS,
         batch_multiple: int = 1,
         seed: int = 0,
+        sequence_indices: Optional[Sequence[int]] = None,
     ):
         # batch_multiple: round the sequence count up so the batch axis is
         # divisible by the data-parallel mesh size.
+        #
+        # sequence_indices: restrict sampling to this index subset — used to
+        # shard eval sequences disjointly across hosts (the reference gets
+        # this from accelerate's dataloader sharding, train.py:81).
         self.batch_multiple = max(batch_multiple, 1)
         self.num_sequences = num_sequences
+        self.sequence_indices = (
+            np.asarray(sequence_indices, dtype=np.int64)
+            if sequence_indices is not None
+            else None
+        )
         self.dataset_len = dataset_len
         self.max_images = max_images
         self.images_per_seq = list(range(images_per_seq[0], images_per_seq[1]))
@@ -64,10 +74,13 @@ class DynamicBatchSampler:
             n_seqs = max(self.max_images // bucket, 1)
             m = self.batch_multiple
             n_seqs = ((n_seqs + m - 1) // m) * m
-            chosen = self.rng.choice(
-                self.num_sequences, size=n_seqs,
-                replace=self.num_sequences < n_seqs,
+            pool = (
+                self.sequence_indices
+                if self.sequence_indices is not None
+                else self.num_sequences
             )
+            n_pool = len(pool) if self.sequence_indices is not None else pool
+            chosen = self.rng.choice(pool, size=n_seqs, replace=n_pool < n_seqs)
             yield [(int(i), n_per_seq) for i in chosen]
 
     def __len__(self):

@@ -88,11 +88,24 @@ def camera_to_rel_deg(
 
 
 def calculate_auc(
-    r_error: jnp.ndarray, t_error: jnp.ndarray, max_threshold: int = 30
+    r_error: jnp.ndarray,
+    t_error: jnp.ndarray,
+    max_threshold: int = 30,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """AUC@threshold (a.k.a. mAA): mean of the cumulative histogram of
-    max(r_err, t_err) over integer-degree bins (reference: metric.py:51-108)."""
+    max(r_err, t_err) over integer-degree bins (reference: metric.py:51-108).
+
+    ``weights`` (same shape as the errors, typically a 0/1 pair-validity mask
+    from frame padding) restricts the statistic to valid pairs: the histogram
+    counts and the normalizer both use the weights, so padded pairs cannot
+    bias the result.
+    """
     max_errors = jnp.maximum(r_error, t_error)
+    if weights is None:
+        w = jnp.ones_like(max_errors)
+    else:
+        w = weights.astype(max_errors.dtype)
     bins = jnp.arange(max_threshold + 1, dtype=max_errors.dtype)
     # histogram over [0,1), [1,2), ..., [th-1, th) like np.histogram
     in_bin = (max_errors[None, :] >= bins[:-1, None]) & (
@@ -100,9 +113,9 @@ def calculate_auc(
     )
     # np.histogram's last bin is closed: [th-1, th]
     last = (max_errors >= bins[-2]) & (max_errors <= bins[-1])
-    hist = jnp.sum(in_bin, axis=-1).astype(max_errors.dtype)
-    hist = hist.at[-1].set(jnp.sum(last).astype(max_errors.dtype))
-    normalized = hist / max_errors.shape[0]
+    hist = jnp.sum(in_bin * w[None, :], axis=-1)
+    hist = hist.at[-1].set(jnp.sum(last * w))
+    normalized = hist / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(jnp.cumsum(normalized))
 
 

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from posediffusion_tpu.geometry.metrics import calculate_auc, camera_to_rel_deg
+from posediffusion_tpu.geometry.metrics import (
+    batched_all_pairs,
+    calculate_auc,
+    camera_to_rel_deg,
+)
 from posediffusion_tpu.geometry.pose_codec import pose_encoding_to_camera
 from posediffusion_tpu.models.pose_diffusion import PoseDiffusionModel
 
@@ -42,19 +46,32 @@ def pose_metrics(pred_encodings, gt_encodings, mask=None):
     """Racc/Tacc @5/15/30 and AUC@30 from pose encodings (B, N, 9).
 
     Matches the reference's per-step metric block (train.py:197-215).  With a
-    frame mask, padded frames still enter the pairwise stats (masked metric
-    variants come with the bucketed eval harness); training metrics are
-    advisory.
+    frame mask (B, N) from bucketed padding, only pairs whose BOTH frames are
+    valid enter the stats — the pair set shrinks per sequence, matching the
+    reference's semantics on the valid subset (util/metric.py:14-48, which
+    never sees padded frames because torch batches are ragged-free).
     """
     B, N = pred_encodings.shape[:2]
     pred_cam = pose_encoding_to_camera(pred_encodings)
     gt_cam = pose_encoding_to_camera(gt_encodings)
     r_deg, t_deg = camera_to_rel_deg(pred_cam, gt_cam, batch_size=B)
+    if mask is not None:
+        i1, i2 = batched_all_pairs(B, N)
+        flat = mask.reshape(-1).astype(jnp.float32)
+        w = flat[i1] * flat[i2]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+
+        def mean(x):
+            return jnp.sum(x * w) / denom
+
+    else:
+        w = None
+        mean = jnp.mean
     out = {}
     for th in (5, 15, 30):
-        out[f"Racc_{th}"] = jnp.mean((r_deg < th).astype(jnp.float32))
-        out[f"Tacc_{th}"] = jnp.mean((t_deg < th).astype(jnp.float32))
-    out["Auc_30"] = calculate_auc(r_deg, t_deg, max_threshold=30)
+        out[f"Racc_{th}"] = mean((r_deg < th).astype(jnp.float32))
+        out[f"Tacc_{th}"] = mean((t_deg < th).astype(jnp.float32))
+    out["Auc_30"] = calculate_auc(r_deg, t_deg, max_threshold=30, weights=w)
     return out
 
 
@@ -100,7 +117,7 @@ def make_train_step(
         metrics = {"loss": loss}
         if compute_metrics:
             n = gt_enc.shape[0]
-            metrics.update(pose_metrics(out.x_0_pred[:n], gt_enc))
+            metrics.update(pose_metrics(out.x_0_pred[:n], gt_enc, mask=mask))
         return new_state, metrics
 
     return train_step
@@ -111,7 +128,7 @@ def make_eval_step(model: PoseDiffusionModel):
 
     def eval_step(params, batch, key):
         enc, _ = model.sample(params, batch["images"], key, mask=batch.get("mask"))
-        metrics = pose_metrics(enc, batch["pose_encodings"])
+        metrics = pose_metrics(enc, batch["pose_encodings"], mask=batch.get("mask"))
         return enc, metrics
 
     return eval_step

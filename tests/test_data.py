@@ -216,6 +216,25 @@ class TestSamplerAndCollation:
         assert s.bucket_for(8) == 8
         assert s.bucket_for(9) == 16
 
+    def test_sequence_indices_shard_disjoint(self):
+        """Per-host eval sharding (train.py): samplers restricted to disjoint
+        index subsets must never emit each other's sequences."""
+        n_eval, n_proc = 37, 3
+        seen = []
+        for p in range(n_proc):
+            shard = np.arange(n_eval)[p::n_proc]
+            s = DynamicBatchSampler(
+                n_eval, dataset_len=10, max_images=32, images_per_seq=(3, 9),
+                frame_buckets=(4, 8), seed=1 + 1000 * p,
+                sequence_indices=shard,
+            )
+            idx = {i for batch in s for i, _ in batch}
+            assert idx <= set(shard.tolist())
+            seen.append(idx)
+        for a in range(n_proc):
+            for b in range(a + 1, n_proc):
+                assert not (seen[a] & seen[b])
+
     def test_collate_padding_and_mask(self, rng, tmp_path):
         img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng)
         ds = Co3dDataset(

