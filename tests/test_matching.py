@@ -1,6 +1,8 @@
 """Matching stack tests: native RANSAC, SuperPoint (torch-twin parity),
 SuperGlue invariants, end-to-end extraction plumbing."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -290,3 +292,71 @@ class TestExtractEndToEnd:
         if kp1 is not None:  # random weights may or may not produce matches
             assert kp1.shape[1] == 2 and i12.shape[1] == 2
             assert i12.min() >= 0 and i12.max() < 3
+
+    def test_matching_stack_drives_ggs_sampler_on_apple(self, tmp_path):
+        """Full GGS plumbing proof (VERDICT r1 #5): SuperPoint -> SuperGlue ->
+        RANSAC -> remap -> build_cond_fn -> conditioned sampling, end-to-end
+        on real frames from samples/apple with NO precomputed matches.
+        Random matcher weights — this pins shapes/jit/plumbing, not accuracy
+        (mirrors reference demo.py:79-89)."""
+        from PIL import Image
+
+        from posediffusion_tpu.data import load_and_preprocess_images
+        from posediffusion_tpu.diffusion.ggs import GGSConfig, build_cond_fn
+        from posediffusion_tpu.matching import extract_match
+        from posediffusion_tpu.matching.superpoint import SuperPointNet
+        from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
+
+        # downscaled copies of real apple frames (full-res SuperPoint on a
+        # 1-core CPU host is out of budget; geometry survives the resize)
+        src = sorted(
+            os.path.join("samples/apple", f)
+            for f in os.listdir("samples/apple")
+            if f.endswith(".jpg")
+        )[:4]
+        n = len(src)
+        for p in src:
+            im = Image.open(p)
+            im.resize((im.width // 8, im.height // 8), Image.BILINEAR).save(
+                tmp_path / os.path.basename(p)
+            )
+
+        img_size = 64
+        images, image_info = load_and_preprocess_images(str(tmp_path), img_size)
+        assert images.shape[0] == n
+
+        sp_params = SuperPointNet().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64))
+        )
+        sg_params = convert_superglue(random_superglue_sd(np.random.default_rng(1)))
+        kp1, kp2, i12 = extract_match(
+            image_paths=image_info["paths"],
+            image_info=image_info,
+            weights=(sp_params, sg_params),
+            max_keypoints=64,
+            sinkhorn_iterations=10,
+            match_threshold=0.0,
+            min_pair_matches=8,
+            ransac_threshold_px=1e6,  # accept-all: plumbing, not quality
+        )
+        assert kp1 is not None and len(kp1) >= 8
+        assert i12.min() >= 0 and i12.max() < n
+
+        cfg = GGSConfig(iter_num=2, min_matches=0)
+        cond_fn = build_cond_fn(kp1, kp2, i12, n, (img_size, img_size), cfg)
+
+        model = PoseDiffusionModel(
+            PoseDiffusionConfig(
+                z_dim=32, d_model=32, nhead=2, num_encoder_layers=2,
+                dim_feedforward=64, mlp_hidden_dim=16, vit_depth=1,
+                vit_heads=2, timesteps=8, scale_factors=(1.0,),
+            )
+        )
+        params = model.init(jax.random.PRNGKey(0), image_hw=(img_size, img_size))
+        enc, _ = jax.jit(
+            lambda p, im, k: model.sample(
+                p, im, k, cond_fn=cond_fn, cond_start_step=2
+            )
+        )(params, jnp.asarray(images)[None], jax.random.PRNGKey(1))
+        assert enc.shape == (1, n, 9)
+        assert bool(jnp.isfinite(enc).all())

@@ -228,3 +228,62 @@ class TestFullConverter:
         img = jnp.asarray(rng.uniform(size=(1, 3, 64, 64)).astype(np.float32))
         feat = vit.apply({"params": params["extractor"]["params"]["net"]}, img)
         assert feat.shape == (1, 96)
+
+    def test_manifest_trunk_matches_torch_transformer_encoder(self):
+        """The hand-written trunk manifest must equal the exact state-dict
+        layout of torch.nn.TransformerEncoder (the reference's trunk,
+        denoiser.py:79-98) — keys AND shapes."""
+        from posediffusion_tpu.utils.manifest import denoiser_manifest
+
+        layer = torch.nn.TransformerEncoderLayer(
+            512, 4, 1024, dropout=0.1, batch_first=True, norm_first=True
+        )
+        trunk = torch.nn.TransformerEncoder(layer, 8)
+        torch_keys = {
+            f"diffuser.model._trunk.{k}": tuple(v.shape)
+            for k, v in trunk.state_dict().items()
+        }
+        ours = {
+            k: v for k, v in denoiser_manifest().items() if "._trunk." in k
+        }
+        assert ours == torch_keys
+
+    def test_converter_consumes_full_reference_manifest(self):
+        """Converter hardening (VERDICT r1 #9): every key a released
+        reference checkpoint contains must be consumed by the converter (or
+        be a known recomputed constant), and the converted pytree must match
+        the Flax model's init tree leaf-for-leaf — so a real .pth either
+        converts completely or fails loudly, never silently drops weights."""
+        from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
+        from posediffusion_tpu.utils.convert import extract_schedule_buffers
+        from posediffusion_tpu.utils.manifest import (
+            OPTIONAL_CONSTANT_KEYS,
+            reference_checkpoint_manifest,
+        )
+
+        manifest = reference_checkpoint_manifest("co3d")
+
+        class TrackingDict(dict):
+            def __init__(self, base):
+                super().__init__(base)
+                self.consumed = set()
+
+            def __getitem__(self, k):
+                self.consumed.add(k)
+                return super().__getitem__(k)
+
+        sd = TrackingDict(
+            {k: np.full(s, 0.01, np.float32) for k, s in manifest.items()}
+        )
+        params = convert_pose_diffusion_checkpoint(sd)
+        buffers = extract_schedule_buffers(sd)
+        assert len(buffers) == 13
+
+        unconsumed = set(manifest) - sd.consumed - set(OPTIONAL_CONSTANT_KEYS)
+        assert not unconsumed, f"converter silently drops: {sorted(unconsumed)}"
+
+        model = PoseDiffusionModel(PoseDiffusionConfig())
+        init = model.init(jax.random.PRNGKey(0), image_hw=(224, 224))
+        conv_shapes = jax.tree.map(np.shape, params)
+        init_shapes = jax.tree.map(np.shape, init)
+        assert conv_shapes == init_shapes
