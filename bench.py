@@ -40,13 +40,14 @@ def main():
     )
 
     # R sequential end-to-end inferences inside ONE device program: host<->
-    # device round-trip latency (which can dominate through remote tunnels)
-    # amortizes away, so value = per-inference device time.  lax.map is
-    # sequential, so this measures latency, not batching throughput.  The
-    # images are perturbed per iteration so XLA cannot hoist the (key-
-    # independent) feature extractor out of the loop — each iteration pays
-    # the FULL extractor + sampler cost, like a real per-sequence inference.
-    R = 10
+    # device round-trip latency (which can dominate through remote tunnels;
+    # ~30 ms per device_get on the axon relay) amortizes away, so value =
+    # per-inference device time.  lax.map is sequential, so this measures
+    # latency, not batching throughput.  The images are perturbed per
+    # iteration so XLA cannot hoist the (key-independent) feature extractor
+    # out of the loop — each iteration pays the FULL extractor + sampler
+    # cost, like a real per-sequence inference.
+    R = 40
 
     @jax.jit
     def infer_chain(params, images, key):

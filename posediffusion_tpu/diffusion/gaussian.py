@@ -134,6 +134,8 @@ def p_sample_loop(
     cond_start_step: int = 0,
     objective: str = "pred_noise",
     return_trajectory: bool = False,
+    x_init: Optional[jnp.ndarray] = None,
+    from_t: Optional[int] = None,
 ):
     """Ancestral sampling as ``lax.scan`` over t = T-1 .. 0.
 
@@ -143,11 +145,21 @@ def p_sample_loop(
     zeroed (reference: gaussian_diffuser.py:270-280).  The expensive cond_fn
     (GGS's inner SGD) therefore only appears in the program for the steps
     that actually use it.
+
+    ``x_init``/``from_t`` warm-start the chain at timestep ``from_t`` (the
+    steps [from_t, T) already ran elsewhere, e.g. in the fused sampler
+    kernel); ``key`` is then the PRNG carry from that phase.
     """
     T = schedule.num_timesteps
     B = shape[0]
-    key, init_key = jax.random.split(key)
-    x0 = jax.random.normal(init_key, shape)
+    if x_init is not None:
+        if from_t is None:
+            raise ValueError("x_init requires from_t")
+        x0 = x_init
+        T = from_t if from_t <= T else T
+    else:
+        key, init_key = jax.random.split(key)
+        x0 = jax.random.normal(init_key, shape)
 
     def step(carry, t, conditioned: bool):
         x, key = carry

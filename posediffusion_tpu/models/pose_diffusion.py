@@ -62,6 +62,11 @@ class PoseDiffusionConfig:
     # Run the sampler's denoiser trunk as one fused Pallas kernel per step
     # (B == 1, eval mode).  Falls back to the Flax path on CPU / batched use.
     fused_sampler: bool = True
+    # bf16 activations inside the fused ViT trunk on the inference path (the
+    # MXU's native dtype; ~2x the f32 matmul rate).  Weights already stream
+    # as bf16.  Set False for f32-exact feature extraction; feature deviation
+    # is pinned by tests/test_vit_kernel.py tolerances.
+    extractor_act_bf16: bool = True
     timesteps: int = 100
     beta_1: float = 1e-4
     beta_T: float = 0.1
@@ -143,6 +148,7 @@ class PoseDiffusionModel:
                 params["extractor"], flat,
                 scale_factors=c.scale_factors, patch_size=c.patch_size,
                 embed_dim=c.z_dim, depth=c.vit_depth, num_heads=c.vit_heads,
+                act_bf16=c.extractor_act_bf16,
             )
         else:
             z = self.extractor.apply(params["extractor"], flat)
@@ -257,6 +263,56 @@ class PoseDiffusionModel:
                 return self.denoiser.apply(denoiser_params, x, tt, z, mask=mask)
 
         shape = (B, N, self.config.target_dim)
+
+        # Whole-loop fused sampler: ALL unconditioned reverse steps in one
+        # Pallas kernel (ops/sampler_kernel.py) — removes the ~15 XLA
+        # dispatches/step that dominate at this model size.  PRNG stream is
+        # split-for-split identical to p_sample_loop, so a conditioned (GGS)
+        # tail continues seamlessly.
+        use_fused_loop = (
+            self.config.fused_sampler
+            and B == 1
+            and not return_trajectory
+            and (
+                sampling_timesteps is None
+                or sampling_timesteps >= self.schedule.num_timesteps
+            )
+            and self.config.mlp_hidden_dim == 128
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        if use_fused_loop:
+            from posediffusion_tpu.ops.sampler_kernel import fused_sample_loop
+
+            T = self.schedule.num_timesteps
+            n_cond = (
+                min(max(cond_start_step, 0), T) if cond_fn is not None else 0
+            )
+            x, key = fused_sample_loop(
+                params["denoiser"],
+                self.schedule,
+                z,
+                key,
+                mask=mask,
+                n_cond=n_cond,
+                nhead=self.config.nhead,
+                num_encoder_layers=self.config.num_encoder_layers,
+                pivot_cam_onehot=self.config.pivot_cam_onehot,
+                target_dim=self.config.target_dim,
+            )
+            if n_cond == 0:
+                return x, None
+            return p_sample_loop(
+                self.schedule,
+                model_fn,
+                shape,
+                key,
+                cond_fn=cond_fn,
+                cond_start_step=cond_start_step,
+                objective=self.config.objective,
+                x_init=x,
+                from_t=n_cond,
+            )
+
         if (
             sampling_timesteps is not None
             and sampling_timesteps < self.schedule.num_timesteps

@@ -39,30 +39,24 @@ def _layer_norm(x, g, b, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _trunk_kernel(
-    x_ref, mask_ref,
-    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-    g2_ref, b2_ref, wl1_ref, bl1_ref, wl2_ref, bl2_ref,
-    out_ref, acc_ref,
+def encoder_layer_math(
+    x, mask_bias_row,
+    g1, b1, wqkv, bqkv, wout, bout, g2, b2, wl1, bl1, wl2, bl2,
     *, nhead: int, d_model: int,
 ):
-    l = pl.program_id(0)
+    """One pre-norm transformer encoder layer on VMEM-resident values.
 
-    @pl.when(l == 0)
-    def _():
-        acc_ref[:] = x_ref[:]
-
-    x = acc_ref[:]
-    N = x.shape[0]
+    Pure math shared by the trunk kernel and the fused sampler kernel
+    (ops/sampler_kernel.py); exactly models.layers.TransformerEncoderLayer
+    in eval mode."""
     Dh = d_model // nhead
 
     # ---- attention block
-    h = _layer_norm(x, g1_ref[0, 0], b1_ref[0, 0])
+    h = _layer_norm(x, g1, b1)
     qkv = (
-        jnp.dot(h, wqkv_ref[0], preferred_element_type=jnp.float32)
-        + bqkv_ref[0, 0]
+        jnp.dot(h, wqkv, preferred_element_type=jnp.float32) + bqkv
     )  # (N, 3*d_model)
-    bias = mask_ref[0][None, :]  # (1, N)
+    bias = mask_bias_row[None, :]  # (1, N)
 
     heads_out = []
     for head in range(nhead):
@@ -79,19 +73,37 @@ def _trunk_kernel(
         heads_out.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
     attn_out = jnp.concatenate(heads_out, axis=1)
 
-    h = (
-        jnp.dot(attn_out, wout_ref[0], preferred_element_type=jnp.float32)
-        + bout_ref[0, 0]
-    )
+    h = jnp.dot(attn_out, wout, preferred_element_type=jnp.float32) + bout
     x = x + h
 
     # ---- feed-forward block
-    h = _layer_norm(x, g2_ref[0, 0], b2_ref[0, 0])
-    h = jnp.dot(h, wl1_ref[0], preferred_element_type=jnp.float32) + bl1_ref[0, 0]
+    h = _layer_norm(x, g2, b2)
+    h = jnp.dot(h, wl1, preferred_element_type=jnp.float32) + bl1
     h = jnp.maximum(h, 0.0)
-    h = jnp.dot(h, wl2_ref[0], preferred_element_type=jnp.float32) + bl2_ref[0, 0]
-    x = x + h
+    h = jnp.dot(h, wl2, preferred_element_type=jnp.float32) + bl2
+    return x + h
 
+
+def _trunk_kernel(
+    x_ref, mask_ref,
+    g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    g2_ref, b2_ref, wl1_ref, bl1_ref, wl2_ref, bl2_ref,
+    out_ref, acc_ref,
+    *, nhead: int, d_model: int,
+):
+    l = pl.program_id(0)
+
+    @pl.when(l == 0)
+    def _():
+        acc_ref[:] = x_ref[:]
+
+    x = encoder_layer_math(
+        acc_ref[:], mask_ref[0],
+        g1_ref[0, 0], b1_ref[0, 0], wqkv_ref[0], bqkv_ref[0, 0],
+        wout_ref[0], bout_ref[0, 0], g2_ref[0, 0], b2_ref[0, 0],
+        wl1_ref[0], bl1_ref[0, 0], wl2_ref[0], bl2_ref[0, 0],
+        nhead=nhead, d_model=d_model,
+    )
     acc_ref[:] = x
 
     @pl.when(l == pl.num_programs(0) - 1)
