@@ -33,6 +33,7 @@ class DynamicBatchSampler:
         batch_multiple: int = 1,
         seed: int = 0,
         sequence_indices: Optional[Sequence[int]] = None,
+        shape_seed: Optional[int] = None,
     ):
         # batch_multiple: round the sequence count up so the batch axis is
         # divisible by the data-parallel mesh size.
@@ -40,6 +41,14 @@ class DynamicBatchSampler:
         # sequence_indices: restrict sampling to this index subset — used to
         # shard eval sequences disjointly across hosts (the reference gets
         # this from accelerate's dataloader sharding, train.py:81).
+        #
+        # shape_seed: seed a SEPARATE rng for the per-batch shape decision
+        # (frames-per-sequence -> bucket -> sequence count).  Multi-host SPMD
+        # requires every process to assemble the same GLOBAL batch shape each
+        # step, so hosts share a shape_seed while drawing their items from
+        # process-unique ``seed`` streams.  None (default): shapes and items
+        # come from the single ``seed`` stream (single-process behavior,
+        # unchanged).
         self.batch_multiple = max(batch_multiple, 1)
         self.num_sequences = num_sequences
         self.sequence_indices = (
@@ -58,6 +67,9 @@ class DynamicBatchSampler:
         else:
             self.frame_buckets = None
         self.rng = np.random.default_rng(seed)
+        self.shape_rng = (
+            np.random.default_rng(shape_seed) if shape_seed is not None else self.rng
+        )
 
     def bucket_for(self, n: int) -> int:
         if self.frame_buckets is None:
@@ -69,7 +81,7 @@ class DynamicBatchSampler:
 
     def __iter__(self) -> Iterator[List[Tuple[int, int]]]:
         for _ in range(self.dataset_len):
-            n_per_seq = int(self.rng.choice(self.images_per_seq))
+            n_per_seq = int(self.shape_rng.choice(self.images_per_seq))
             bucket = self.bucket_for(n_per_seq)
             n_seqs = max(self.max_images // bucket, 1)
             m = self.batch_multiple

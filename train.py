@@ -72,7 +72,13 @@ def main():
     enable_compilation_cache()
 
     from posediffusion_tpu.data import DynamicBatchSampler
-    from posediffusion_tpu.parallel import batch_sharding, make_mesh, param_shardings
+    from posediffusion_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        maybe_initialize_distributed,
+        param_shardings,
+        shard_host_batch,
+    )
     from posediffusion_tpu.training import (
         StatsLogger,
         TrainState,
@@ -90,8 +96,7 @@ def main():
     # launcher provides coordination env vars (replaces 'accelerate launch
     # --multi_gpu', reference README.md:70); each process then loads a
     # distinct data shard via its process-unique seed.
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    if maybe_initialize_distributed():
         print(
             f"distributed: process {jax.process_index()}/{jax.process_count()}, "
             f"{jax.local_device_count()} local of {jax.device_count()} devices"
@@ -116,10 +121,21 @@ def main():
     mesh = make_mesh(dp * (t.get("fsdp") or 1), fsdp=t.get("fsdp") or 1)
     print(f"mesh: {dict(mesh.shape)}")
 
+    # Per-host loaders: each process samples ITS OWN sequences (process-
+    # unique item seed, like accelerate's per-rank dataloaders) but all
+    # processes share one shape_seed — multi-controller SPMD needs every
+    # host to assemble the same global batch shape each step.  max_images is
+    # per host (matching the reference's per-rank semantics); the local
+    # batch axis is padded to the local device share of dp.
+    n_proc = max(jax.process_count(), 1)
+    if dp % n_proc != 0:
+        raise ValueError(f"dp={dp} must be divisible by process_count={n_proc}")
+    local_dp = dp // n_proc
     sampler = DynamicBatchSampler(
         len(dataset), dataset_len=t.len_train, max_images=t.max_images,
         images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
-        batch_multiple=dp, seed=cfg.seed + 1000 * jax.process_index(),
+        batch_multiple=local_dp, seed=cfg.seed + 1000 * jax.process_index(),
+        shape_seed=cfg.seed + 31,
     )
     # Eval: process-unique seed + disjoint per-host sequence shards, so
     # multi-host runs evaluate different data instead of averaging duplicated
@@ -127,14 +143,12 @@ def main():
     # train.py:81).
     import numpy as np
 
-    eval_indices = np.arange(len(eval_dataset))[
-        jax.process_index():: max(jax.process_count(), 1)
-    ]
+    eval_indices = np.arange(len(eval_dataset))[jax.process_index()::n_proc]
     eval_sampler = DynamicBatchSampler(
         len(eval_dataset), dataset_len=t.len_eval, max_images=t.max_images // 2,
         images_per_seq=tuple(t.images_per_seq), frame_buckets=buckets,
-        batch_multiple=dp, seed=cfg.seed + 1 + 1000 * jax.process_index(),
-        sequence_indices=eval_indices,
+        batch_multiple=local_dp, seed=cfg.seed + 1 + 1000 * jax.process_index(),
+        sequence_indices=eval_indices, shape_seed=cfg.seed + 37,
     )
 
     model = build_model(cfg.MODEL)
@@ -199,7 +213,7 @@ def main():
 
                 items = [eval_dataset[spec] for spec in batch_spec]
                 batch = collate_batch(items, pad_frames_to=bucket)
-                batch = jax.device_put(batch, batch_sharding(mesh))
+                batch = shard_host_batch(mesh, batch, batch_sharding(mesh))
                 key, sub = jax.random.split(key)
                 _, metrics = sample_eval(state.params, batch, sub)
                 stats.update(jax.device_get(metrics), stat_set="eval")
@@ -240,7 +254,7 @@ def main():
                     break
                 if isinstance(batch, Exception):
                     raise RuntimeError("data producer failed") from batch
-                batch = jax.device_put(batch, batch_sharding(mesh))
+                batch = shard_host_batch(mesh, batch, batch_sharding(mesh))
                 key, sub = jax.random.split(key)
                 state, metrics = train_step(state, batch, sub)
                 pending.append((step_base + step_i, metrics))
