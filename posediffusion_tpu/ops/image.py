@@ -24,17 +24,42 @@ def imagenet_normalize(images: jnp.ndarray) -> jnp.ndarray:
     return (images - mean) / std
 
 
-def resize_bilinear(images: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize of (..., 3, H, W) images to (..., 3, h, w).
+def _linear_weight_matrix(in_size: int, out_size: int):
+    """(out, in) interpolation matrix with exact torch
+    ``F.interpolate(mode="bilinear", align_corners=False)`` semantics:
+    half-pixel centers, source index clamped at 0, edge clamping.  Sizes are
+    static, so this is a trace-time numpy constant."""
+    import numpy as np
 
-    ``jax.image.resize(method="linear")`` matches torch
-    ``F.interpolate(mode="bilinear", align_corners=False)`` (half-pixel
-    centers), which the reference uses for both the multiscale pyramid and
-    demo-time preprocessing.
+    scale = in_size / out_size
+    src = np.maximum((np.arange(out_size) + 0.5) * scale - 0.5, 0.0)
+    i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    W = np.zeros((out_size, in_size), np.float32)
+    np.add.at(W, (np.arange(out_size), i0), 1.0 - w1)
+    np.add.at(W, (np.arange(out_size), i1), w1)
+    return W
+
+
+def resize_bilinear(images: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of (..., 3, H, W) images to (..., 3, h, w), matching
+    torch ``F.interpolate(mode="bilinear", align_corners=False)`` (half-pixel
+    centers, no antialias), which the reference uses for both the multiscale
+    pyramid and demo-time preprocessing.
+
+    Separable resize as two matmuls with trace-time constant weight
+    matrices: on TPU these tile onto the MXU, ~10x faster than the
+    gather-based lowering of ``jax.image.resize``.
     """
-    out_shape = images.shape[:-2] + tuple(size_hw)
-    # antialias=False matches torch's plain bilinear (no filtering) semantics.
-    return jax.image.resize(images, out_shape, method="linear", antialias=False)
+    oh, ow = size_hw
+    h, w = images.shape[-2:]
+    if (oh, ow) == (h, w):
+        return images
+    Wh = jnp.asarray(_linear_weight_matrix(h, oh), images.dtype)
+    Ww = jnp.asarray(_linear_weight_matrix(w, ow), images.dtype)
+    out = jnp.einsum("oh,...hw->...ow", Wh, images)
+    return jnp.einsum("pw,...ow->...op", Ww, out)
 
 
 def scale_size(side: int, scale_factor: float) -> int:

@@ -18,6 +18,7 @@ the Flax trunk is pinned in tests.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,8 +75,10 @@ def _vit_block_kernel(
     g2, b2 = g2_ref[0, 0], b2_ref[0, 0]
     wfc1, bfc1 = wfc1_ref[0], bfc1_ref[0, 0]
     wfc2, bfc2 = wfc2_ref[0], bfc2_ref[0, 0]
-    # additive key bias excluding padded tokens from every softmax
-    key_bias = mask_ref[0][None, None, :]  # (1, 1, N)
+    # additive (N, N) attention bias: excludes padded tokens from every
+    # softmax and, for scale-packed rows, restricts attention to the
+    # block-diagonal per-scale segments
+    key_bias = mask_ref[...][None]  # (1, N, N)
 
     # bf16 matmul operands run the MXU at its native rate (~4x f32);
     # accumulation and the residual stream stay f32
@@ -199,17 +202,28 @@ def fused_vit_trunk(
     chunk: int = 4,
     act_bf16: bool = False,
     interpret: bool = False,
+    attn_bias: Optional[jnp.ndarray] = None,  # (N, N) additive, pre-softmax
 ) -> jnp.ndarray:
     B, N, d_model = x.shape
     L = stacks["g1"].shape[0]
 
     # pad tokens to the sublane multiple and batch to the chunk multiple;
-    # padded tokens are excluded from attention via the key bias
+    # padded tokens are excluded from attention via the additive bias
     N_pad = max(((N + 7) // 8) * 8, 8)
     B_pad = ((B + chunk - 1) // chunk) * chunk
     if (N_pad, B_pad) != (N, B):
         x = jnp.pad(x, [(0, B_pad - B), (0, N_pad - N), (0, 0)])
-    mask_bias = jnp.where(jnp.arange(N_pad) < N, 0.0, -1e30).astype(jnp.float32)
+    if attn_bias is None:
+        mask_bias = jnp.broadcast_to(
+            jnp.where(jnp.arange(N_pad) < N, 0.0, -1e30).astype(jnp.float32),
+            (N_pad, N_pad),
+        )
+    else:
+        mask_bias = jnp.pad(
+            attn_bias.astype(jnp.float32),
+            [(0, N_pad - N), (0, N_pad - N)],
+            constant_values=-1e30,
+        )
 
     def layer_block(shape):
         nd = len(shape)
@@ -229,7 +243,9 @@ def fused_vit_trunk(
         grid=(L,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, N_pad), lambda l: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (N_pad, N_pad), lambda l: (0, 0), memory_space=pltpu.VMEM
+            ),
             vec(d_model), vec(d_model),
             layer_block((d_model, 3 * d_model)), vec(3 * d_model),
             layer_block((d_model, d_model)), vec(d_model),
@@ -252,7 +268,7 @@ def fused_vit_trunk(
         ),
         interpret=interpret,
     )(
-        x.astype(jnp.float32), mask_bias[None],
+        x.astype(jnp.float32), mask_bias,
         stacks["g1"], stacks["b1"], stacks["wqkv"], stacks["bqkv"],
         stacks["wproj"], stacks["bproj"], stacks["g2"], stacks["b2"],
         stacks["wfc1"], stacks["bfc1"], stacks["wfc2"], stacks["bfc2"],

@@ -87,6 +87,35 @@ class TestFusedVitTrunk:
                               interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
 
+    def test_block_diag_bias_equals_separate_runs(self, rng):
+        # scale packing: two segments in one row with a block-diagonal bias
+        # must equal running each segment as its own sequence
+        vit, params, _ = self._make(rng)
+        stacks = stack_vit_params(
+            params["params"], vit.depth, weight_dtype=jnp.float32
+        )
+        n1, n2 = 9, 5
+        xa = jnp.asarray(rng.normal(size=(2, n1, 64)).astype(np.float32))
+        xb = jnp.asarray(rng.normal(size=(2, n2, 64)).astype(np.float32))
+        seg = np.concatenate([np.zeros(n1), np.ones(n2)])
+        bias = jnp.asarray(
+            np.where(seg[:, None] == seg[None, :], 0.0, -1e30).astype(np.float32)
+        )
+        packed = fused_vit_trunk(
+            jnp.concatenate([xa, xb], axis=1), stacks, nhead=vit.num_heads,
+            chunk=2, interpret=True, attn_bias=bias,
+        )
+        ra = fused_vit_trunk(xa, stacks, nhead=vit.num_heads, chunk=2,
+                             interpret=True)
+        rb = fused_vit_trunk(xb, stacks, nhead=vit.num_heads, chunk=2,
+                             interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(packed[:, :n1]), np.asarray(ra), atol=5e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(packed[:, n1:]), np.asarray(rb), atol=5e-6
+        )
+
     def test_erf_matches_scipy_grid(self):
         from scipy.special import erf as scipy_erf
 
@@ -102,9 +131,9 @@ class TestExtractFeaturesFused:
         monkeypatch.setattr(
             vk, "fused_vit_trunk",
             lambda x, stacks, nhead=6, chunk=4, act_bf16=False,
-            interpret=False: orig_trunk(
+            interpret=False, attn_bias=None: orig_trunk(
                 x, stacks, nhead=nhead, chunk=chunk, act_bf16=act_bf16,
-                interpret=True,
+                interpret=True, attn_bias=attn_bias,
             ),
         )
         orig_stack = vk.stack_vit_params
