@@ -72,6 +72,22 @@ def _point_mlp(sd, prefix, seq_indices):
     return out
 
 
+def _head_perm(d_model: int = 256, num_heads: int = 4) -> np.ndarray:
+    """Channel permutation interleaved -> contiguous head layout.
+
+    MagicLeap's attention views the (B, C, N) conv output as (B, Dh, H, N),
+    so head h owns channels {d*H + h}.  A (..., Dh, 4) split is hostile to
+    TPU layouts (minor dim 4 pads to the 128-lane tile, a 32x memory blowup
+    on every q/k/v tensor), so the runtime module uses the standard
+    contiguous split {h*Dh + d} and this permutation is folded into the
+    q/k/v output channels and the merge input channels at conversion time —
+    end-to-end outputs are identical to the released checkpoints.
+    """
+    dh = d_model // num_heads
+    c = np.arange(d_model)
+    return (c % dh) * num_heads + (c // dh)
+
+
 def convert_superglue(sd: Dict[str, np.ndarray], gnn_layers: int = 9) -> Dict:
     """SuperGlue state dict -> params for superglue.match_pair."""
     net = {
@@ -79,14 +95,24 @@ def convert_superglue(sd: Dict[str, np.ndarray], gnn_layers: int = 9) -> Dict:
         "kenc": _point_mlp(sd, "kenc.encoder", [0, 3, 6, 9, 12]),
         "final_proj": _conv1d_dense(sd, "final_proj"),
     }
+    perm = _head_perm()
+
+    def proj(key):
+        p = _conv1d_dense(sd, key)
+        return {"kernel": p["kernel"][:, perm], "bias": p["bias"][perm]}
+
     for i in range(2 * gnn_layers):
         l = f"gnn.layers.{i}"
+        merge = _conv1d_dense(sd, f"{l}.attn.merge")
         net[f"gnn_{i}"] = {
             "attn": {
-                "proj_q": _conv1d_dense(sd, f"{l}.attn.proj.0"),
-                "proj_k": _conv1d_dense(sd, f"{l}.attn.proj.1"),
-                "proj_v": _conv1d_dense(sd, f"{l}.attn.proj.2"),
-                "merge": _conv1d_dense(sd, f"{l}.attn.merge"),
+                "proj_q": proj(f"{l}.attn.proj.0"),
+                "proj_k": proj(f"{l}.attn.proj.1"),
+                "proj_v": proj(f"{l}.attn.proj.2"),
+                "merge": {
+                    "kernel": merge["kernel"][perm, :],
+                    "bias": merge["bias"],
+                },
             },
             "mlp": _point_mlp(sd, f"{l}.mlp", [0, 3]),
         }

@@ -77,6 +77,52 @@ def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw0, image_hw1,
     )
 
 
+def _fused_all_pairs(
+    sg_params, feats, sizes, pairs, chunk, sinkhorn_iterations,
+    match_threshold,
+):
+    """Match every pair through the fused Pallas kernel in ceil(P/chunk)
+    launches (ops/superglue_kernel.py).  Returns host arrays
+    (P, K) matches0 / mscores."""
+    from posediffusion_tpu.matching.superglue import encode_keypoints
+    from posediffusion_tpu.ops.superglue_kernel import (
+        fused_match_pairs,
+        stack_superglue_params,
+    )
+
+    k_all = jnp.stack([f[0] for f in feats])
+    s_all = jnp.stack([f[1] for f in feats])
+    d_all = jnp.stack([f[2] for f in feats])
+    v_all = jnp.stack([f[3] for f in feats])
+    x = encode_keypoints(
+        sg_params, d_all, k_all, s_all, np.asarray(sizes, np.float32)
+    )
+    stacks = stack_superglue_params(sg_params)
+    a_idx = np.array([p[0] for p in pairs])
+    b_idx = np.array([p[1] for p in pairs])
+    P = len(pairs)
+    out_m, out_s = [], []
+    for i0 in range(0, P, chunk):
+        sa, sb = a_idx[i0 : i0 + chunk], b_idx[i0 : i0 + chunk]
+        pad = chunk - len(sa)
+        if pad:  # repeat the first pair; results discarded
+            sa = np.pad(sa, (0, pad))
+            sb = np.pad(sb, (0, pad))
+        sa, sb = jnp.asarray(sa), jnp.asarray(sb)
+        xp = jnp.stack(
+            [jnp.take(x, sa, axis=0), jnp.take(x, sb, axis=0)], axis=1
+        )
+        mm, ss = fused_match_pairs(
+            xp, jnp.take(v_all, sa, axis=0), jnp.take(v_all, sb, axis=0),
+            stacks, sinkhorn_iters=sinkhorn_iterations,
+            match_threshold=match_threshold,
+        )
+        n_real = chunk - pad
+        out_m.append(np.asarray(mm)[:n_real])
+        out_s.append(np.asarray(ss)[:n_real])
+    return np.concatenate(out_m), np.concatenate(out_s)
+
+
 def extract_match(
     image_paths: Optional[Sequence[str]] = None,
     image_folder_path: Optional[str] = None,
@@ -89,12 +135,18 @@ def extract_match(
     match_threshold: float = 0.2,
     ransac_threshold_px: float = 4.0,
     min_pair_matches: int = 8,
+    use_fused: Optional[bool] = None,
+    pair_chunk: int = 16,
 ):
     """Extract verified matches across all frame pairs.
 
     Mirrors the reference entry (match_extraction.py:27-48); returns
     (kp1, kp2, i12) in the cropped/rescaled pixel frame, or (None,)*3 when
     no matcher weights are available or nothing verifies.
+
+    ``use_fused`` (default: auto — on except CPU) batches SuperGlue over
+    ``pair_chunk`` pairs per fused-kernel launch instead of ~290 XLA
+    dispatches per pair; numerics pinned in tests/test_superglue_kernel.py.
     """
     if weights is not None:
         sp_params, sg_params = weights
@@ -129,31 +181,47 @@ def extract_match(
         )
         feats.append((k, s, d, v))
 
-    kp1_all, kp2_all, i12_all = [], [], []
     n = len(feats)
-    for a in range(n):
-        for b in range(a + 1, n):
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    if use_fused is None:
+        use_fused = jax.devices()[0].platform not in ("cpu",)
+    if use_fused:
+        all_matches, _ = _fused_all_pairs(
+            sg_params, feats, sizes, pairs, pair_chunk,
+            sinkhorn_iterations, match_threshold,
+        )
+    else:
+        all_matches = None
+
+    # one host transfer for all keypoints (the RANSAC loop is host-side)
+    kpts_np = np.asarray(jnp.stack([f[0] for f in feats]))
+
+    kp1_all, kp2_all, i12_all = [], [], []
+    for pi, (a, b) in enumerate(pairs):
+        if all_matches is not None:
+            matches0 = all_matches[pi]
+        else:
             k0, s0, d0, v0 = feats[a]
             k1, s1, d1, v1 = feats[b]
-            matches0, mscores0 = _match(
+            matches0, _ = _match(
                 sg_params, d0, d1, k0, k1, s0, s1, v0, v1,
                 sizes[a], sizes[b],
                 sinkhorn_iterations, match_threshold,
             )
             matches0 = np.asarray(matches0)
-            sel = matches0 >= 0
-            if sel.sum() < min_pair_matches:
-                continue
-            p0 = np.asarray(k0)[sel]
-            p1 = np.asarray(k1)[matches0[sel]]
-            mask, _, count = verify_matches(
-                p0, p1, threshold_px=ransac_threshold_px, seed=a * n + b
-            )
-            if count < min_pair_matches:
-                continue
-            kp1_all.append(p0[mask])
-            kp2_all.append(p1[mask])
-            i12_all.append(np.repeat([[a, b]], count, axis=0))
+        sel = matches0 >= 0
+        if sel.sum() < min_pair_matches:
+            continue
+        p0 = kpts_np[a][sel]
+        p1 = kpts_np[b][matches0[sel]]
+        mask, _, count = verify_matches(
+            p0, p1, threshold_px=ransac_threshold_px, seed=a * n + b
+        )
+        if count < min_pair_matches:
+            continue
+        kp1_all.append(p0[mask])
+        kp2_all.append(p1[mask])
+        i12_all.append(np.repeat([[a, b]], count, axis=0))
 
     if not kp1_all:
         return None, None, None

@@ -70,7 +70,11 @@ class MultiHeadedAttention(nn.Module):
     """MagicLeap's head layout is channel-INTERLEAVED: the (B, C, N) conv
     output is viewed as (B, Dh, H, N), so head h owns channels {d*H + h} —
     not the contiguous {h*Dh + d} split of torch.nn.MultiheadAttention.
-    Matching it exactly is required for the released weights to behave."""
+    The runtime module uses the CONTIGUOUS split (a (..., Dh, 4) view is
+    layout-hostile on TPU: minor dim 4 pads to the 128-lane tile);
+    ``convert._head_perm`` folds the interleaved->contiguous permutation
+    into the q/k/v and merge weights, so converted released checkpoints
+    produce identical end-to-end outputs (pinned by the twin test)."""
 
     num_heads: int = 4
     d_model: int = 256
@@ -85,12 +89,11 @@ class MultiHeadedAttention(nn.Module):
         v = nn.Dense(self.d_model, name="proj_v")(value)
 
         def heads(a, n):
-            # channel c = d * H + h  ->  (B, H, n, Dh)
-            return a.reshape(B, n, Dh, self.num_heads).transpose(0, 3, 1, 2)
+            # contiguous: channel c = h * Dh + d  ->  (B, H, n, Dh)
+            return a.reshape(B, n, self.num_heads, Dh).transpose(0, 2, 1, 3)
 
         out = mha_attention(heads(q, Nq), heads(k, Nk), heads(v, Nk), mask=mask)
-        # back to channel c = d * H + h before the merge projection
-        out = out.transpose(0, 2, 3, 1).reshape(B, Nq, self.d_model)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Nq, self.d_model)
         return nn.Dense(self.d_model, name="merge")(out)
 
 
@@ -158,6 +161,31 @@ class SuperGlueNet(nn.Module):
         m1 = proj(x1)
         scores = jnp.einsum("bnd,bmd->bnm", m0, m1) / self.d_model**0.5
         return scores
+
+
+def encode_keypoints(params, desc, kpts, scores, image_hw):
+    """Batched keypoint-encoder initialization: x = desc + kenc(pos, score).
+
+    The per-frame front half of SuperGlueNet, exposed separately so the
+    fused pair-matching kernel (ops/superglue_kernel.py) can consume
+    kenc-initialized tokens; one jit call covers all frames.
+
+    Args:
+        params: converted SuperGlue params ({"net": ..., "bin_score": ...}).
+        desc: (F, K, 256) descriptors; kpts: (F, K, 2) pixel keypoints;
+        scores: (F, K) detector scores; image_hw: (F, 2) per-frame (h, w).
+    Returns (F, K, 256) initialized tokens.
+    """
+    hw = jnp.asarray(image_hw, jnp.float32)
+    center = hw[:, ::-1] / 2.0                      # (F, 2) = (cx, cy)
+    denom = 0.7 * jnp.max(hw, axis=1, keepdims=True)  # (F, 1)
+    n = (kpts - center[:, None, :]) / denom[:, None, :]
+    kenc = PointMLP([32, 64, 128, 256, 256])
+    feats = kenc.apply(
+        {"params": params["net"]["params"]["kenc"]},
+        jnp.concatenate([n, scores[..., None]], -1),
+    )
+    return desc + feats
 
 
 def log_sinkhorn(scores, bin_score, mask0, mask1, iterations: int):

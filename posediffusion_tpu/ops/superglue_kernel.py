@@ -1,0 +1,354 @@
+"""The ENTIRE SuperGlue matcher as ONE Pallas kernel per pair-chunk.
+
+The reference runs SuperGlue through hloc per frame pair (reference:
+pose_diffusion/util/match_extraction.py:92-98).  A straight XLA port
+(matching/superglue.py) is correct but dispatch-bound: the 18-layer GNN is
+~290 fusions, and on relay-attached TPUs every fusion pays a fixed
+dispatch cost, giving ~100 ms per pair — 190 exhaustive pairs would cost
+~20 s, no better than the reference's hloc+COLMAP stage.
+
+This kernel processes a CHUNK of pairs in a single ``pallas_call``:
+
+* grid ``(2L + 1,)`` — 2L alternating self/cross GNN steps + one final
+  scoring/Sinkhorn/match step; TPU grids execute sequentially, so the
+  (C, 2, K, D) token activations live in VMEM scratch across all steps
+  with zero HBM round-trips;
+* per-layer GNN weights stream through double-buffered DMA (index map
+  ``s -> min(s, 2L-1)``); inference BatchNorms are folded into the message
+  MLP's first conv at stack time (``stack_superglue_params``);
+* the final step computes the projected score matrix, runs the full
+  log-domain Sinkhorn (masked marginals, learned dustbin), and extracts
+  mutual matches — the mutual check uses the both-argmax formulation
+  ``M[i,j] = (Z[i,j]==rowmax[i]) & (Z[i,j]==colmax[j])`` which needs no
+  in-kernel gather.
+
+Numerically pinned against matching/superglue.match_pair in
+tests/test_superglue_kernel.py (interpret mode, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+_PAD = 8  # rows/cols appended after the dustbin for sublane alignment
+
+
+def stack_superglue_params(params):
+    """Converted SuperGlue params -> stacked per-layer arrays (f32).
+
+    Folds each message-MLP BatchNorm (inference mode) into its conv:
+    y = ((xW + b) - mean) * scale / sqrt(var + eps) + bias
+      =  x (W * g) + (b - mean) * g + bias,   g = scale / sqrt(var + eps).
+    """
+    net = params["net"]["params"]
+    n_layers = len([k for k in net if k.startswith("gnn_")])
+    stacks = {k: [] for k in (
+        "wq", "bq", "wk", "bk", "wv", "bv", "wm", "bm",
+        "w1", "b1", "w2", "b2",
+    )}
+    for i in range(n_layers):
+        attn = net[f"gnn_{i}"]["attn"]
+        for nm, key in (("q", "proj_q"), ("k", "proj_k"), ("v", "proj_v"),
+                        ("m", "merge")):
+            stacks[f"w{nm}"].append(np.asarray(attn[key]["kernel"], np.float32))
+            stacks[f"b{nm}"].append(np.asarray(attn[key]["bias"], np.float32))
+        mlp = net[f"gnn_{i}"]["mlp"]
+        l0 = mlp["layers_0"]
+        g = np.asarray(l0["bn_scale"], np.float32) / np.sqrt(
+            np.asarray(l0["bn_var"], np.float32) + 1e-5
+        )
+        stacks["w1"].append(np.asarray(l0["conv"]["kernel"], np.float32) * g)
+        stacks["b1"].append(
+            (np.asarray(l0["conv"]["bias"], np.float32)
+             - np.asarray(l0["bn_mean"], np.float32)) * g
+            + np.asarray(l0["bn_bias"], np.float32)
+        )
+        stacks["w2"].append(np.asarray(mlp["layers_1"]["kernel"], np.float32))
+        stacks["b2"].append(np.asarray(mlp["layers_1"]["bias"], np.float32))
+    out = {}
+    for k, v in stacks.items():
+        arr = jnp.asarray(np.stack(v))
+        if arr.ndim == 2:
+            arr = arr[:, None, :]  # (L, 1, D) vectors
+        out[k] = arr
+    fp = net["final_proj"]
+    out["wf"] = jnp.asarray(fp["kernel"], jnp.float32)
+    out["bf"] = jnp.asarray(fp["bias"], jnp.float32)[None, :]
+    out["bin"] = jnp.asarray(params["bin_score"], jnp.float32).reshape(1, 1)
+    return out
+
+
+def _superglue_kernel(
+    x_ref,              # (C, 2, K, D) HBM: kenc-initialized descriptors
+    mbp0_ref, mbp1_ref,  # (C, KP) f32: 0 valid kp / 0 at dustbin / -1e9 pad
+    wf_ref, bf_ref, bin_ref,   # final projection + dustbin, VMEM resident
+    # per-layer streamed weights
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wm_ref, bm_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref,
+    matches_ref, mscores_ref,  # (C, K) i32 / f32 VMEM outputs
+    xs_vm, dma_sem,
+    *, nhead: int, d_model: int, n_pairs: int, K: int,
+    sinkhorn_iters: int, match_threshold: float,
+):
+    s = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    L2 = n_steps - 1  # number of GNN steps (2 * gnn_layers)
+    Dh = d_model // nhead
+    scale = 1.0 / (Dh ** 0.5)
+    KP = K + _PAD
+
+    @pl.when(s == 0)
+    def _():
+        pltpu.make_async_copy(x_ref, xs_vm, dma_sem).start()
+        pltpu.make_async_copy(x_ref, xs_vm, dma_sem).wait()
+
+    is_cross = (s % 2) == 1
+
+    def attn_message(x, src, key_bias, wq, bq, wk, bk, wv, bv, wm, bm,
+                     w1, b1, w2, b2):
+        q = jax.lax.dot_general(
+            x, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bq
+        k = jax.lax.dot_general(
+            src, wk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bk
+        v = jax.lax.dot_general(
+            src, wv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bv
+        heads = []
+        for h in range(nhead):
+            sl = slice(h * Dh, (h + 1) * Dh)
+            scores = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + key_bias[None, :]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            heads.append(jnp.dot(p, v[:, sl],
+                                 preferred_element_type=jnp.float32))
+        message = jnp.concatenate(heads, axis=1)
+        message = jax.lax.dot_general(
+            message, wm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bm
+        cat = jnp.concatenate([x, message], axis=1)  # (K, 2D)
+        hmid = jnp.maximum(
+            jax.lax.dot_general(
+                cat, w1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b1,
+            0.0,
+        )
+        return jax.lax.dot_general(
+            hmid, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2
+
+    @pl.when(s < L2)
+    def _():
+        wq, bq = wq_ref[0], bq_ref[0, 0]
+        wk, bk = wk_ref[0], bk_ref[0, 0]
+        wv, bv = wv_ref[0], bv_ref[0, 0]
+        wm, bm = wm_ref[0], bm_ref[0, 0]
+        w1, b1 = w1_ref[0], b1_ref[0, 0]
+        w2, b2 = w2_ref[0], b2_ref[0, 0]
+        sel = is_cross.astype(jnp.float32)
+
+        def pair(c, _):
+            x0 = xs_vm[c, 0]
+            x1 = xs_vm[c, 1]
+            b0 = mbp0_ref[c, :K]
+            b1b = mbp1_ref[c, :K]
+            src0 = (1.0 - sel) * x0 + sel * x1
+            src1 = (1.0 - sel) * x1 + sel * x0
+            kb0 = (1.0 - sel) * b0 + sel * b1b
+            kb1 = (1.0 - sel) * b1b + sel * b0
+            msg0 = attn_message(x0, src0, kb0, wq, bq, wk, bk, wv, bv,
+                                wm, bm, w1, b1, w2, b2)
+            msg1 = attn_message(x1, src1, kb1, wq, bq, wk, bk, wv, bv,
+                                wm, bm, w1, b1, w2, b2)
+            xs_vm[c, 0] = x0 + msg0
+            xs_vm[c, 1] = x1 + msg1
+            return _
+
+        jax.lax.fori_loop(0, n_pairs, pair, None)
+
+    @pl.when(s == L2)
+    def _():
+        wf = wf_ref[...]
+        bf = bf_ref[0]
+        bin_score = bin_ref[0, 0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (KP, KP), 1)
+        row_real = rows < K
+        col_real = cols < K
+        bin_cell = ((rows == K) & (cols <= K)) | ((cols == K) & (rows <= K))
+
+        def pair(c, _):
+            mb0 = mbp0_ref[c]  # (KP,) 0 at valid kp + dustbin, -1e9 at pad
+            mb1 = mbp1_ref[c]
+            # f32 indicator vectors: Mosaic only supports minor-dim
+            # insertion ([:, None]) on 32-bit types, not i1
+            rvf = (mb0 >= -0.5).astype(jnp.float32)  # incl. dustbin
+            cvf = (mb1 >= -0.5).astype(jnp.float32)
+            idx1d = jax.lax.broadcasted_iota(jnp.int32, (KP, 1), 0)[:, 0]
+            realf = (idx1d < K).astype(jnp.float32)
+            valid0 = (rvf * realf) > 0.5
+            valid1 = (cvf * realf) > 0.5
+            m0 = jax.lax.dot_general(
+                xs_vm[c, 0], wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bf
+            m1 = jax.lax.dot_general(
+                xs_vm[c, 1], wf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + bf
+            S = jax.lax.dot_general(
+                m0, m1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / (d_model ** 0.5)
+            Sp = jnp.pad(S, ((0, _PAD), (0, _PAD)), constant_values=_NEG)
+
+            cell_ok = (rvf[:, None] * cvf[None, :]) > 0.5
+            C_ = jnp.where(bin_cell, bin_score, Sp)
+            C_ = jnp.where(cell_ok, C_, _NEG)
+
+            ms = jnp.sum(valid0.astype(jnp.float32))
+            ns = jnp.sum(valid1.astype(jnp.float32))
+            norm = -jnp.log(ms + ns)
+            is_bin_r = (rvf > 0.5) & jnp.logical_not(valid0)  # dustbin row
+            is_bin_c = (cvf > 0.5) & jnp.logical_not(valid1)
+            log_mu = jnp.where(
+                valid0, norm, jnp.where(is_bin_r, jnp.log(ns) + norm, _NEG)
+            )  # (KP,)
+            log_nu = jnp.where(
+                valid1, norm, jnp.where(is_bin_c, jnp.log(ms) + norm, _NEG)
+            )
+
+            def sk(i, uv):
+                u, v = uv
+                t = C_ + v[None, :]
+                mx = jnp.max(t, axis=1)
+                u = log_mu - (mx + jnp.log(
+                    jnp.sum(jnp.exp(t - mx[:, None]), axis=1)))
+                t = C_ + u[:, None]
+                mx = jnp.max(t, axis=0)
+                v = log_nu - (mx + jnp.log(
+                    jnp.sum(jnp.exp(t - mx[None, :]), axis=0)))
+                return u, v
+
+            u, v = jax.lax.fori_loop(
+                0, sinkhorn_iters, sk,
+                (jnp.zeros(KP, jnp.float32), jnp.zeros(KP, jnp.float32)),
+            )
+            Z = C_ + u[:, None] + v[None, :] - norm
+            # real keypoint block only (exclude dustbin + padding)
+            live = row_real & col_real & cell_ok
+            Z = jnp.where(live, Z, -jnp.float32(3e38))
+
+            rowmax = jnp.max(Z, axis=1)          # (KP,)
+            colmax = jnp.max(Z, axis=0)
+            both = (Z >= rowmax[:, None]) & (Z >= colmax[None, :]) & live
+            mutual = jnp.any(both, axis=1)       # (KP,)
+            idx0 = jnp.argmax(Z, axis=1).astype(jnp.int32)
+            mscores = jnp.where(mutual, jnp.exp(rowmax), 0.0)
+            ok = mutual & (mscores > match_threshold)
+            matches_ref[c] = jnp.where(ok, idx0, -1)[:K]
+            mscores_ref[c] = jnp.where(ok, mscores, 0.0)[:K]
+            return _
+
+        jax.lax.fori_loop(0, n_pairs, pair, None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nhead", "sinkhorn_iters", "match_threshold", "interpret"),
+)
+def fused_match_pairs(
+    x: jnp.ndarray,      # (C, 2, K, D) kenc-initialized descriptors
+    mask0: jnp.ndarray,  # (C, K) bool validity, set 0
+    mask1: jnp.ndarray,  # (C, K) bool validity, set 1
+    stacks: dict,
+    nhead: int = 4,
+    sinkhorn_iters: int = 50,
+    match_threshold: float = 0.2,
+    interpret: bool = False,
+):
+    """Match C keypoint-set pairs in one kernel launch.
+
+    Returns (matches0 (C, K) int32 into set 1 or -1, mscores0 (C, K) f32) —
+    the contract of matching.superglue.match_pair, batched over pairs.
+    """
+    C, two, K, D = x.shape
+    assert two == 2 and K % 8 == 0
+    L2 = stacks["wq"].shape[0]
+    dff = stacks["w1"].shape[-1]
+    KP = K + _PAD
+
+    # (C, KP) bias: 0 at valid keypoints AND at the dustbin slot K, -1e9 at
+    # invalid keypoints and alignment padding
+    def padded_bias(mask):
+        bias = jnp.where(mask.astype(bool), 0.0, _NEG).astype(jnp.float32)
+        pad = jnp.full((C, _PAD), _NEG, jnp.float32).at[:, 0].set(0.0)
+        return jnp.concatenate([bias, pad], axis=1)
+
+    mbp0 = padded_bias(mask0)
+    mbp1 = padded_bias(mask1)
+
+    def layer_block(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda s: (jnp.minimum(s, L2 - 1),) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    def resident(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda s: (0,) * nd, memory_space=pltpu.VMEM)
+
+    vec = lambda d: layer_block((1, d))
+    kernel = functools.partial(
+        _superglue_kernel, nhead=nhead, d_model=D, n_pairs=C, K=K,
+        sinkhorn_iters=sinkhorn_iters, match_threshold=match_threshold,
+    )
+    matches, mscores = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, K), jnp.int32),
+            jax.ShapeDtypeStruct((C, K), jnp.float32),
+        ),
+        grid=(L2 + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            resident((C, KP)), resident((C, KP)),
+            resident((D, D)), resident((1, D)), resident((1, 1)),
+            layer_block((D, D)), vec(D), layer_block((D, D)), vec(D),
+            layer_block((D, D)), vec(D), layer_block((D, D)), vec(D),
+            layer_block((2 * D, dff)), vec(dff),
+            layer_block((dff, D)), vec(D),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, K), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, K), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, 2, K, D), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), mbp0, mbp1,
+        stacks["wf"], stacks["bf"], stacks["bin"],
+        stacks["wq"], stacks["bq"], stacks["wk"], stacks["bk"],
+        stacks["wv"], stacks["bv"], stacks["wm"], stacks["bm"],
+        stacks["w1"], stacks["b1"], stacks["w2"], stacks["b2"],
+    )
+    return matches, mscores
