@@ -118,9 +118,13 @@ def _fused_all_pairs(
             match_threshold=match_threshold,
         )
         n_real = chunk - pad
-        out_m.append(np.asarray(mm)[:n_real])
-        out_s.append(np.asarray(ss)[:n_real])
-    return np.concatenate(out_m), np.concatenate(out_s)
+        out_m.append(mm[:n_real])
+        out_s.append(ss[:n_real])
+    # device-side concat, ONE host transfer for all pairs
+    return (
+        np.asarray(jnp.concatenate(out_m)),
+        np.asarray(jnp.concatenate(out_s)),
+    )
 
 
 def extract_match(

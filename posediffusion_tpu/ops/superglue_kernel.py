@@ -40,13 +40,23 @@ _NEG = -1e9
 _PAD = 8  # rows/cols appended after the dustbin for sublane alignment
 
 
+_STACK_CACHE: dict = {}
+
+
 def stack_superglue_params(params):
     """Converted SuperGlue params -> stacked per-layer arrays (f32).
 
     Folds each message-MLP BatchNorm (inference mode) into its conv:
     y = ((xW + b) - mean) * scale / sqrt(var + eps) + bias
       =  x (W * g) + (b - mean) * g + bias,   g = scale / sqrt(var + eps).
+
+    Results are cached by the params dict's id: the ~47 MB of stacked
+    weights stay device-resident across extract_match calls instead of
+    re-uploading per call (a multi-second cost through relay links).
     """
+    cached = _STACK_CACHE.get(id(params))
+    if cached is not None:
+        return cached
     net = params["net"]["params"]
     n_layers = len([k for k in net if k.startswith("gnn_")])
     stacks = {k: [] for k in (
@@ -82,6 +92,9 @@ def stack_superglue_params(params):
     out["wf"] = jnp.asarray(fp["kernel"], jnp.float32)
     out["bf"] = jnp.asarray(fp["bias"], jnp.float32)[None, :]
     out["bin"] = jnp.asarray(params["bin_score"], jnp.float32).reshape(1, 1)
+    if len(_STACK_CACHE) > 4:
+        _STACK_CACHE.clear()
+    _STACK_CACHE[id(params)] = out
     return out
 
 
