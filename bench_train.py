@@ -15,11 +15,15 @@ weight-independent.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SECONDS = 1.0  # low end of the reference's 1-3 s/it
+# f32 matches the reference's numerics (default); bfloat16 runs the ViT
+# blocks on the MXU fast path (0.79 vs 1.04 s/it measured on one v5e)
+COMPUTE_DTYPE = os.environ.get("POSEDIFFUSION_BENCH_DTYPE", "float32")
 N_SEQS = 32
 N_FRAMES = 16  # 32 x 16 = 512 images = reference max_images
 IMAGE_SIZE = 224
@@ -43,7 +47,7 @@ def main():
         make_train_step,
     )
 
-    model = PoseDiffusionModel(PoseDiffusionConfig())
+    model = PoseDiffusionModel(PoseDiffusionConfig(compute_dtype=COMPUTE_DTYPE))
     params = model.init(jax.random.PRNGKey(0), image_hw=(IMAGE_SIZE, IMAGE_SIZE))
     optimizer, _ = make_optimizer(
         lr=1e-4, T_0=50, iters_per_epoch=16384, clip_grad=1.0

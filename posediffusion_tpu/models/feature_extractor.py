@@ -64,6 +64,13 @@ class MultiScaleImageFeatureExtractor(nn.Module):
         img = imagenet_normalize(images_nchw)
         h, w = img.shape[-2:]
 
+        if "resnet" not in self.modelname:
+            # ONE packed trunk pass for all scales (block-diagonal attention
+            # bias; exactly equivalent to per-scale forwards) — this is the
+            # train-path twin of the inference extract_features_fused packing
+            feats = net(img, scale_factors=tuple(self.scale_factors))
+            return jnp.mean(feats, axis=1)
+
         total = None
         for s in self.scale_factors:
             if s == 1:

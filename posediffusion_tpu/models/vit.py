@@ -34,7 +34,7 @@ class ViTAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn_bias=None) -> jnp.ndarray:
         B, N, C = x.shape
         Dh = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
@@ -43,7 +43,7 @@ class ViTAttention(nn.Module):
         def heads(a):
             return a.reshape(B, N, self.num_heads, Dh).transpose(0, 2, 1, 3)
 
-        out = mha_attention(heads(q), heads(k), heads(v))
+        out = mha_attention(heads(q), heads(k), heads(v), attn_bias=attn_bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -68,11 +68,11 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32  # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, attn_bias=None) -> jnp.ndarray:
         # residual stream + LayerNorm stay f32; matmul-heavy blocks run in
         # self.dtype (bfloat16 option for MXU throughput)
         h = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), attn_bias
         ).astype(x.dtype)
         if self.layer_scale:
             h = h * self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
@@ -119,19 +119,19 @@ class VisionTransformer(nn.Module):
         return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
     @nn.compact
-    def __call__(self, images_nchw: jnp.ndarray) -> jnp.ndarray:
-        B = images_nchw.shape[0]
-        x = images_nchw.transpose(0, 2, 3, 1)  # NHWC for the conv
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            name="patch_embed",
-        )(x)
-        _, h0, w0, _ = x.shape
-        x = x.reshape(B, h0 * w0, self.embed_dim)
+    def __call__(
+        self, images_nchw: jnp.ndarray, scale_factors=None
+    ) -> jnp.ndarray:
+        """Single-scale: (B, 3, H, W) -> (B, dim) CLS feature.
 
+        ``scale_factors``: run the multiscale pyramid in ONE trunk pass by
+        packing each image's per-scale token sequences into a single row
+        under a block-diagonal attention bias (exactly equivalent to
+        independent per-scale forwards — token counts add with zero
+        linear-layer FLOP waste, and one pass replaces len(scales) passes).
+        Returns (B, n_scales, dim) per-scale CLS features.
+        """
+        B = images_nchw.shape[0]
         cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, self.embed_dim)
         )
@@ -140,9 +140,54 @@ class VisionTransformer(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, 1 + self.pos_grid**2, self.embed_dim),
         )
+        patch_embed = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed",
+        )
 
-        x = jnp.concatenate([jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x], axis=1)
-        x = x + self.interpolate_pos_encoding(pos_embed, h0, w0)
+        def embed(img_nchw):
+            if min(img_nchw.shape[-2:]) < self.patch_size:
+                raise ValueError(
+                    f"image {img_nchw.shape[-2:]} smaller than one "
+                    f"{self.patch_size}px patch — raise img_size or drop "
+                    "the offending scale factor"
+                )
+            x = patch_embed(img_nchw.transpose(0, 2, 3, 1))
+            _, h0, w0, _ = x.shape
+            x = x.reshape(B, h0 * w0, self.embed_dim)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (B, 1, self.embed_dim)), x], axis=1
+            )
+            return x + self.interpolate_pos_encoding(pos_embed, h0, w0)
+
+        attn_bias = None
+        if scale_factors is None:
+            x = embed(images_nchw)
+        else:
+            from posediffusion_tpu.ops.image import resize_bilinear, scale_size
+
+            import numpy as np
+
+            H, W = images_nchw.shape[-2:]
+            toks = []
+            for s in scale_factors:
+                inp = images_nchw if s == 1 else resize_bilinear(
+                    images_nchw, (scale_size(H, s), scale_size(W, s))
+                )
+                toks.append(embed(inp))
+            offsets = np.cumsum([0] + [t.shape[1] for t in toks])
+            if len(toks) > 1:
+                seg = np.concatenate(
+                    [np.full(t.shape[1], i) for i, t in enumerate(toks)]
+                )
+                attn_bias = jnp.asarray(
+                    np.where(seg[:, None] == seg[None, :], 0.0, -1e30)
+                    .astype(np.float32)
+                )
+            x = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
 
         block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
@@ -150,10 +195,14 @@ class VisionTransformer(nn.Module):
                 self.embed_dim, self.num_heads, self.mlp_ratio,
                 layer_scale=self.layer_scale, dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x)
+            )(x, attn_bias)
 
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        return x[:, 0]
+        norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        if scale_factors is None:
+            return norm(x)[:, 0]
+        return norm(
+            jnp.stack([x[:, int(o)] for o in offsets[:-1]], axis=1)
+        )
 
 
 def vit_small(patch_size: int = 16) -> VisionTransformer:

@@ -88,6 +88,96 @@ def _reference_attention(q, k, v, mask_bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Full (N, N) additive-bias variant — used by the scale-packed ViT trunk
+# (one row holds several independent attention segments under a
+# block-diagonal bias).  Bias is shared across batch and heads and gets no
+# gradient (it encodes masking/structure, not parameters).
+# ---------------------------------------------------------------------------
+
+
+def _attention_bias_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale + bias_ref[...]
+    scores_max = jnp.max(scores, axis=-1, keepdims=True)
+    unnorm = jnp.exp(scores - scores_max)
+    probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
+    out_ref[0, 0] = jnp.dot(
+        probs, v, preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_attention_bias(q, k, v, bias, interpret=False):
+    B, H, N, Dh = q.shape
+    kernel = functools.partial(_attention_bias_kernel, scale=1.0 / (Dh**0.5))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, Dh), q.dtype),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda b, h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, N, Dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_dispatch_bias(q, k, v, bias, impl):
+    if impl == "xla":
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        scores = scores + bias[None, None]
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, v).astype(q.dtype)
+
+    N = q.shape[2]
+    N_pad = _round_up(max(N, 8), 8)
+    if N_pad != N:
+        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        bias = jnp.pad(
+            bias, [(0, N_pad - N), (0, N_pad - N)], constant_values=_NEG_INF
+        )
+    out = _pallas_attention_bias(
+        q, k, v, bias, interpret=(impl == "interpret")
+    )
+    return out[:, :, :N, :]
+
+
+def _attention_bias_fwd(q, k, v, bias, impl):
+    return _attention_dispatch_bias(q, k, v, bias, impl), (q, k, v, bias)
+
+
+def _attention_bias_bwd(impl, residuals, g):
+    q, k, v, bias = residuals
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale + bias[None, None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_attention_dispatch_bias.defvjp(_attention_bias_fwd, _attention_bias_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _attention_dispatch(q, k, v, mask_bias, impl):
     if impl == "xla":
@@ -141,6 +231,7 @@ def mha_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    attn_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head attention over (B, H, N, Dh) tensors.
 
@@ -148,13 +239,11 @@ def mha_attention(
         mask: optional (B, N) bool/0-1 key validity mask (True = attend).
         impl: "auto" (Pallas on TPU, jnp elsewhere), "pallas", "xla", or
             "interpret" (Pallas interpreter, for CPU tests of the kernel).
+        attn_bias: optional (N, N) additive pre-softmax bias shared across
+            batch and heads (e.g. block-diagonal for scale-packed rows);
+            mutually exclusive with ``mask``; receives no gradient.
     """
     B, H, N, Dh = q.shape
-    if mask is None:
-        mask_bias = jnp.zeros((B, N), jnp.float32)
-    else:
-        mask_bias = jnp.where(mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
-
     if impl == "auto":
         import os
 
@@ -164,5 +253,16 @@ def mha_attention(
         else:
             platform = jax.devices()[0].platform
             impl = "xla" if platform == "cpu" else "pallas"
+
+    if attn_bias is not None:
+        assert mask is None, "mask and attn_bias are mutually exclusive"
+        return _attention_dispatch_bias(
+            q, k, v, attn_bias.astype(jnp.float32), impl
+        )
+
+    if mask is None:
+        mask_bias = jnp.zeros((B, N), jnp.float32)
+    else:
+        mask_bias = jnp.where(mask.astype(bool), 0.0, _NEG_INF).astype(jnp.float32)
 
     return _attention_dispatch(q, k, v, mask_bias, impl)
