@@ -221,6 +221,9 @@ def main():
     steps = int(args.get("steps", 1500))
     out_path = args.get("out", "experiments/synthetic_learnability.json")
     img_size = int(args.get("img_size", 64))
+    # dtype=bfloat16 validates the MXU fast-path training quality against
+    # the f32 run (README train-bench rows)
+    compute_dtype = args.get("dtype", "float32")
 
     import jax
     import jax.numpy as jnp
@@ -237,6 +240,7 @@ def main():
         z_dim=192, vit_depth=4, vit_heads=3,
         d_model=256, nhead=4, num_encoder_layers=4, dim_feedforward=512,
         timesteps=100, scale_factors=(1.0,), dropout=0.0,
+        compute_dtype=compute_dtype,
     )
     model = PoseDiffusionModel(cfg)
     params = model.init(jax.random.PRNGKey(0), image_hw=(img_size, img_size))
