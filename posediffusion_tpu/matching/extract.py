@@ -62,6 +62,15 @@ def _detect(sp_params, gray, max_keypoints, nms_radius):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
+def _detect_batched(sp_params, grays, max_keypoints, nms_radius):
+    from posediffusion_tpu.matching.superpoint import detect_keypoints_batched
+
+    return detect_keypoints_batched(
+        sp_params, grays, max_keypoints=max_keypoints, nms_radius=nms_radius
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("image_hw0", "image_hw1", "sinkhorn_iterations", "match_threshold"),
@@ -170,7 +179,7 @@ def extract_match(
 
     from posediffusion_tpu.data.images import load_image_chw
 
-    feats = []
+    grays = []
     sizes = []
     for path in image_paths:
         img = load_image_chw(path)
@@ -180,10 +189,21 @@ def extract_match(
         ph, pw = (-h) % 8, (-w) % 8
         gray = np.pad(gray, ((0, ph), (0, pw)))
         sizes.append(gray.shape)  # per-frame size for keypoint normalization
-        k, s, d, v = _detect(
-            sp_params, jnp.asarray(gray)[None, None], max_keypoints, nms_radius
+        grays.append(gray)
+
+    # batched detection per same-size group: one forward for the whole
+    # stack instead of F dispatch-bound per-frame calls
+    feats: list = [None] * len(grays)
+    by_shape: Dict[Tuple[int, int], list] = {}
+    for i, g in enumerate(grays):
+        by_shape.setdefault(g.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stack = jnp.asarray(np.stack([grays[i] for i in idxs]))[:, None]
+        kb, sb, db, vb = _detect_batched(
+            sp_params, stack, max_keypoints, nms_radius
         )
-        feats.append((k, s, d, v))
+        for j, i in enumerate(idxs):
+            feats[i] = (kb[j], sb[j], db[j], vb[j])
 
     n = len(feats)
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]

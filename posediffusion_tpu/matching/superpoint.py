@@ -152,3 +152,40 @@ def detect_keypoints(
 
     descs = _sample_descriptors(kpts, desc_grid[0])
     return kpts, top_scores, descs, valid
+
+
+def detect_keypoints_batched(
+    params,
+    images_gray: jnp.ndarray,  # (F, 1, H, W) in [0, 1]
+    max_keypoints: int = 4096,
+    nms_radius: int = 4,
+    keypoint_threshold: float = 0.005,
+    border: int = 4,
+):
+    """Batched detector over F same-size frames: one forward/NMS/top-k for
+    the whole stack (F sequential calls pay F x the per-fusion dispatch
+    cost for identical math).  Returns (kpts (F, K, 2), scores (F, K),
+    desc (F, K, 256), valid (F, K))."""
+    net = SuperPointNet()
+    semi, desc_grid = net.apply(params, images_gray)
+    scores = _depth_to_space_scores(semi)  # (F, H, W)
+    scores = simple_nms(scores, nms_radius)
+    F, H, W = scores.shape
+
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    in_border = (
+        (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
+    )
+    scores = jnp.where(in_border[None], scores, 0.0)
+
+    flat = scores.reshape(F, -1)
+    k = min(max_keypoints, flat.shape[1])
+    top_scores, top_idx = jax.lax.top_k(flat, k)  # (F, K)
+    ys = top_idx // W
+    xs = top_idx % W
+    kpts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)  # (F, K, 2)
+    valid = top_scores > keypoint_threshold
+
+    descs = jax.vmap(_sample_descriptors)(kpts, desc_grid)
+    return kpts, top_scores, descs, valid

@@ -151,6 +151,32 @@ class TestSuperPoint:
         if len(k):
             assert k.min() >= 4 and k.max() < 60
 
+    def test_batched_matches_per_frame(self, rng):
+        from posediffusion_tpu.matching.superpoint import (
+            detect_keypoints_batched,
+        )
+
+        params = SuperPointNet().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64))
+        )
+        imgs = jnp.asarray(rng.uniform(size=(3, 1, 64, 64)).astype(np.float32))
+        kb, sb, db, vb = detect_keypoints_batched(
+            params, imgs, max_keypoints=64, keypoint_threshold=0.0001
+        )
+        for i in range(3):
+            k1, s1, d1, v1 = detect_keypoints(
+                params, imgs[i : i + 1], max_keypoints=64,
+                keypoint_threshold=0.0001,
+            )
+            np.testing.assert_allclose(
+                np.asarray(sb[i]), np.asarray(s1), atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(kb[i]), np.asarray(k1))
+            np.testing.assert_allclose(
+                np.asarray(db[i]), np.asarray(d1), atol=1e-5
+            )
+            np.testing.assert_array_equal(np.asarray(vb[i]), np.asarray(v1))
+
 
 def random_superglue_sd(rng, gnn_layers=9):
     """Synthetic MagicLeap-layout state dict (random weights)."""
