@@ -86,6 +86,29 @@ def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw0, image_hw1,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("sinkhorn_iterations", "match_threshold")
+)
+def _match_chunk(x, v_all, sa, sb, stacks, sinkhorn_iterations, match_threshold):
+    """Gather a pair chunk + run the fused matcher in ONE dispatch (the
+    eager per-chunk take/stack ops otherwise rate-limit through the host)."""
+    from posediffusion_tpu.ops.superglue_kernel import fused_match_pairs
+
+    xp = jnp.stack([jnp.take(x, sa, axis=0), jnp.take(x, sb, axis=0)], axis=1)
+    return fused_match_pairs(
+        xp, jnp.take(v_all, sa, axis=0), jnp.take(v_all, sb, axis=0),
+        stacks, sinkhorn_iters=sinkhorn_iterations,
+        match_threshold=match_threshold,
+    )
+
+
+@functools.partial(jax.jit)
+def _encode_frames(sg_params, d_all, k_all, s_all, hw):
+    from posediffusion_tpu.matching.superglue import encode_keypoints
+
+    return encode_keypoints(sg_params, d_all, k_all, s_all, hw)
+
+
 def _fused_all_pairs(
     sg_params, feats, sizes, pairs, chunk, sinkhorn_iterations,
     match_threshold,
@@ -93,18 +116,14 @@ def _fused_all_pairs(
     """Match every pair through the fused Pallas kernel in ceil(P/chunk)
     launches (ops/superglue_kernel.py).  Returns host arrays
     (P, K) matches0 / mscores."""
-    from posediffusion_tpu.matching.superglue import encode_keypoints
-    from posediffusion_tpu.ops.superglue_kernel import (
-        fused_match_pairs,
-        stack_superglue_params,
-    )
+    from posediffusion_tpu.ops.superglue_kernel import stack_superglue_params
 
     k_all = jnp.stack([f[0] for f in feats])
     s_all = jnp.stack([f[1] for f in feats])
     d_all = jnp.stack([f[2] for f in feats])
     v_all = jnp.stack([f[3] for f in feats])
-    x = encode_keypoints(
-        sg_params, d_all, k_all, s_all, np.asarray(sizes, np.float32)
+    x = _encode_frames(
+        sg_params, d_all, k_all, s_all, jnp.asarray(sizes, jnp.float32)
     )
     stacks = stack_superglue_params(sg_params)
     a_idx = np.array([p[0] for p in pairs])
@@ -117,13 +136,9 @@ def _fused_all_pairs(
         if pad:  # repeat the first pair; results discarded
             sa = np.pad(sa, (0, pad))
             sb = np.pad(sb, (0, pad))
-        sa, sb = jnp.asarray(sa), jnp.asarray(sb)
-        xp = jnp.stack(
-            [jnp.take(x, sa, axis=0), jnp.take(x, sb, axis=0)], axis=1
-        )
-        mm, ss = fused_match_pairs(
-            xp, jnp.take(v_all, sa, axis=0), jnp.take(v_all, sb, axis=0),
-            stacks, sinkhorn_iters=sinkhorn_iterations,
+        mm, ss = _match_chunk(
+            x, v_all, jnp.asarray(sa), jnp.asarray(sb), stacks,
+            sinkhorn_iterations=sinkhorn_iterations,
             match_threshold=match_threshold,
         )
         n_real = chunk - pad
@@ -149,7 +164,7 @@ def extract_match(
     ransac_threshold_px: float = 4.0,
     min_pair_matches: int = 8,
     use_fused: Optional[bool] = None,
-    pair_chunk: int = 16,
+    pair_chunk: int = 32,
 ):
     """Extract verified matches across all frame pairs.
 
