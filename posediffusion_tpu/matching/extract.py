@@ -26,7 +26,6 @@ import numpy as np
 
 from posediffusion_tpu.matching.ransac import verify_matches
 from posediffusion_tpu.matching.superglue import match_pair
-from posediffusion_tpu.matching.superpoint import detect_keypoints
 
 _GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
 
@@ -56,19 +55,22 @@ def load_matcher_weights(weights_dir: str):
 
 
 @functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
-def _detect(sp_params, gray, max_keypoints, nms_radius):
-    return detect_keypoints(
-        sp_params, gray, max_keypoints=max_keypoints, nms_radius=nms_radius
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius"))
 def _detect_batched(sp_params, grays, max_keypoints, nms_radius):
     from posediffusion_tpu.matching.superpoint import detect_keypoints_batched
 
     return detect_keypoints_batched(
         sp_params, grays, max_keypoints=max_keypoints, nms_radius=nms_radius
     )
+
+
+# cap frames per batched-detection forward by ACTIVATION budget: the first
+# conv alone is F x 64 x H x W f32, so large or high-resolution groups are
+# processed in sub-batches rather than one giant jit call
+_DETECT_ACT_BUDGET_BYTES = 2 * 1024**3
+
+
+def _detect_frames_per_call(h: int, w: int) -> int:
+    return max(1, int(_DETECT_ACT_BUDGET_BYTES // (64 * h * w * 4)))
 
 
 @functools.partial(
@@ -213,17 +215,30 @@ def extract_match(
     for i, g in enumerate(grays):
         by_shape.setdefault(g.shape, []).append(i)
     for shape, idxs in by_shape.items():
-        stack = jnp.asarray(np.stack([grays[i] for i in idxs]))[:, None]
-        kb, sb, db, vb = _detect_batched(
-            sp_params, stack, max_keypoints, nms_radius
-        )
-        for j, i in enumerate(idxs):
-            feats[i] = (kb[j], sb[j], db[j], vb[j])
+        per_call = _detect_frames_per_call(*shape)
+        for g0 in range(0, len(idxs), per_call):
+            sub = idxs[g0 : g0 + per_call]
+            arr = [grays[i] for i in sub]
+            if len(idxs) > per_call:
+                # pad the tail so every sub-batch compiles to one shape
+                arr += [arr[0]] * (per_call - len(arr))
+            stack = jnp.asarray(np.stack(arr))[:, None]
+            kb, sb, db, vb = _detect_batched(
+                sp_params, stack, max_keypoints, nms_radius
+            )
+            for j, i in enumerate(sub):
+                feats[i] = (kb[j], sb[j], db[j], vb[j])
 
     n = len(feats)
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
     if use_fused is None:
         use_fused = jax.devices()[0].platform not in ("cpu",)
+    # kernel constraints: >=1 pair, K a multiple of 8 and uniform across
+    # frames (tiny images can truncate top-k); otherwise the per-pair XLA
+    # path below handles it
+    Ks = {int(f[0].shape[0]) for f in feats}
+    if not pairs or len(Ks) != 1 or next(iter(Ks)) % 8 != 0:
+        use_fused = False
     if use_fused:
         all_matches, _ = _fused_all_pairs(
             sg_params, feats, sizes, pairs, pair_chunk,

@@ -74,7 +74,9 @@ class MultiHeadedAttention(nn.Module):
     layout-hostile on TPU: minor dim 4 pads to the 128-lane tile);
     ``convert._head_perm`` folds the interleaved->contiguous permutation
     into the q/k/v and merge weights, so converted released checkpoints
-    produce identical end-to-end outputs (pinned by the twin test)."""
+    produce identical end-to-end outputs — pinned by
+    tests/test_superglue_twin.py, whose torch side independently implements
+    MagicLeap's interleaved ``view(B, Dh, H, N)`` layout."""
 
     num_heads: int = 4
     d_model: int = 256
@@ -112,6 +114,22 @@ class AttentionalPropagation(nn.Module):
         )
 
 
+def normalize_keypoints(kpts, hw):
+    """MagicLeap keypoint normalization: center at the image midpoint,
+    divide by 0.7 * max side.  ``hw``: a static (h, w) tuple, or a
+    (..., 2) array of per-frame sizes (broadcast against (..., K, 2) kpts).
+    Single source of truth for SuperGlueNet and the fused-kernel front half
+    (encode_keypoints)."""
+    if isinstance(hw, tuple):
+        h, w = hw
+        center = jnp.asarray([w / 2.0, h / 2.0])
+        return (kpts - center) / (0.7 * max(w, h))
+    hw = jnp.asarray(hw, jnp.float32)
+    center = hw[..., ::-1] / 2.0                       # (..., 2) = (cx, cy)
+    denom = 0.7 * jnp.max(hw, axis=-1, keepdims=True)  # (..., 1)
+    return (kpts - center[..., None, :]) / denom[..., None, :]
+
+
 class SuperGlueNet(nn.Module):
     d_model: int = 256
     num_heads: int = 4
@@ -129,13 +147,8 @@ class SuperGlueNet(nn.Module):
     ):
         image_hw1 = image_hw1 or image_hw0
 
-        def norm(kpts, hw):
-            h, w = hw
-            center = jnp.asarray([w / 2.0, h / 2.0])
-            return (kpts - center) / (0.7 * max(w, h))
-
-        n0 = norm(kpts0, image_hw0)
-        n1 = norm(kpts1, image_hw1)
+        n0 = normalize_keypoints(kpts0, image_hw0)
+        n1 = normalize_keypoints(kpts1, image_hw1)
 
         # MagicLeap KeypointEncoder: MLP([3] + [32, 64, 128, 256] + [256])
         # -> 5 convs, BN+ReLU after all but the last
@@ -176,10 +189,7 @@ def encode_keypoints(params, desc, kpts, scores, image_hw):
         scores: (F, K) detector scores; image_hw: (F, 2) per-frame (h, w).
     Returns (F, K, 256) initialized tokens.
     """
-    hw = jnp.asarray(image_hw, jnp.float32)
-    center = hw[:, ::-1] / 2.0                      # (F, 2) = (cx, cy)
-    denom = 0.7 * jnp.max(hw, axis=1, keepdims=True)  # (F, 1)
-    n = (kpts - center[:, None, :]) / denom[:, None, :]
+    n = normalize_keypoints(kpts, image_hw)
     kenc = PointMLP([32, 64, 128, 256, 256])
     feats = kenc.apply(
         {"params": params["net"]["params"]["kenc"]},

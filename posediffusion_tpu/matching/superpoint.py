@@ -127,31 +127,14 @@ def detect_keypoints(
     border: int = 4,
 ):
     """Full detector: returns (kpts_xy (K, 2), scores (K,), desc (K, 256),
-    valid (K,)) with static K = max_keypoints."""
-    net = SuperPointNet()
-    semi, desc_grid = net.apply(params, image_gray)
-    scores = _depth_to_space_scores(semi)  # (1, H, W)
-    scores = simple_nms(scores, nms_radius)[0]
-    H, W = scores.shape
-
-    # border suppression
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    in_border = (
-        (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
+    valid (K,)) with static K = max_keypoints.  Thin single-frame wrapper
+    over ``detect_keypoints_batched`` (one implementation to maintain)."""
+    kpts, scores, descs, valid = detect_keypoints_batched(
+        params, image_gray, max_keypoints=max_keypoints,
+        nms_radius=nms_radius, keypoint_threshold=keypoint_threshold,
+        border=border,
     )
-    scores = jnp.where(in_border, scores, 0.0)
-
-    flat = scores.reshape(-1)
-    k = min(max_keypoints, flat.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat, k)
-    ys = top_idx // W
-    xs = top_idx % W
-    kpts = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)
-    valid = top_scores > keypoint_threshold
-
-    descs = _sample_descriptors(kpts, desc_grid[0])
-    return kpts, top_scores, descs, valid
+    return kpts[0], scores[0], descs[0], valid[0]
 
 
 def detect_keypoints_batched(

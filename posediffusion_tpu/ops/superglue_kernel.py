@@ -55,8 +55,8 @@ def stack_superglue_params(params):
     re-uploading per call (a multi-second cost through relay links).
     """
     cached = _STACK_CACHE.get(id(params))
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] is params:
+        return cached[1]
     net = params["net"]["params"]
     n_layers = len([k for k in net if k.startswith("gnn_")])
     stacks = {k: [] for k in (
@@ -94,7 +94,9 @@ def stack_superglue_params(params):
     out["bin"] = jnp.asarray(params["bin_score"], jnp.float32).reshape(1, 1)
     if len(_STACK_CACHE) > 4:
         _STACK_CACHE.clear()
-    _STACK_CACHE[id(params)] = out
+    # retain the params object so its id cannot be recycled by a different
+    # dict while the cache entry lives (entries are identity-checked above)
+    _STACK_CACHE[id(params)] = (params, out)
     return out
 
 

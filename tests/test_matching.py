@@ -285,6 +285,27 @@ class TestSuperGlue:
 
 
 class TestExtractEndToEnd:
+    def test_single_frame_returns_none(self, rng, tmp_path):
+        """No pairs to match: graceful (None, None, None) even when the
+        fused path is requested (kernel needs >=1 pair)."""
+        from PIL import Image
+
+        from posediffusion_tpu.matching import extract_match
+        from posediffusion_tpu.matching.superpoint import SuperPointNet
+
+        arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+        p = tmp_path / "only.png"
+        Image.fromarray(arr).save(p)
+        sp_params = SuperPointNet().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, 48, 64))
+        )
+        sg_params = convert_superglue(random_superglue_sd(np.random.default_rng(1)))
+        out = extract_match(
+            image_paths=[str(p)], weights=(sp_params, sg_params),
+            max_keypoints=64, use_fused=True,
+        )
+        assert out == (None, None, None)
+
     def test_extract_match_plumbing(self, rng, tmp_path):
         """Random weights through the full pipeline on synthetic images:
         structure + remap contract (not match quality)."""
