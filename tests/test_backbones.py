@@ -116,6 +116,36 @@ class TestExtractorBackbones:
         )
         assert m.output_dim == dim
 
+    def test_dinov2_multiscale_packed_equals_per_scale(self, rng):
+        """Scale packing must be exactly per-scale forwards for the patch-14
+        LayerScale (dinov2) variant too."""
+        from posediffusion_tpu.ops.image import (
+            imagenet_normalize,
+            resize_bilinear,
+            scale_size,
+        )
+
+        d = 32
+        ext = MultiScaleImageFeatureExtractor(
+            modelname="dinov2_vits14", scale_factors=(1.0, 0.5),
+            embed_dim=d, depth=1, num_heads=2,
+        )
+        img = jnp.asarray(rng.uniform(size=(2, 3, 56, 56)).astype(np.float32))
+        params = ext.init(jax.random.PRNGKey(0), img)
+        out = ext.apply(params, img)
+
+        vit = VisionTransformer(
+            patch_size=14, embed_dim=d, depth=1, num_heads=2,
+            pos_grid=37, layer_scale=True,
+        )
+        norm = imagenet_normalize(img)
+        f1 = vit.apply({"params": params["params"]["net"]}, norm)
+        small = resize_bilinear(norm, (scale_size(56, 0.5),) * 2)
+        f2 = vit.apply({"params": params["params"]["net"]}, small)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray((f1 + f2) / 2), atol=2e-5
+        )
+
     def test_resnet_extractor_forward(self, rng):
         m = MultiScaleImageFeatureExtractor(
             modelname="resnet50", scale_factors=(1.0,)
