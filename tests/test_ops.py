@@ -115,6 +115,44 @@ class TestAttention:
         v = jnp.asarray(rng.normal(size=(B, H, N, Dh)).astype(np.float32))
         return q, k, v
 
+    def test_block_diag_bias_fwd_and_grad_equal_separate(self, rng):
+        """Scale packing's attention bias: packed forward AND its custom-VJP
+        gradients must equal independently-attended segments (the train
+        path differentiates through this)."""
+        from posediffusion_tpu.ops.attention import mha_attention
+
+        n1, n2 = 7, 5
+        q, k, v = self._rand_qkv(rng, B=2, H=2, N=n1 + n2, Dh=8)
+        seg = np.concatenate([np.zeros(n1), np.ones(n2)])
+        bias = jnp.asarray(
+            np.where(seg[:, None] == seg[None, :], 0.0, -1e30).astype(np.float32)
+        )
+
+        def packed_loss(q, k, v):
+            out = mha_attention(q, k, v, attn_bias=bias, impl="xla")
+            return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+        def separate_loss(q, k, v):
+            o1 = mha_attention(
+                q[:, :, :n1], k[:, :, :n1], v[:, :, :n1], impl="xla"
+            )
+            o2 = mha_attention(
+                q[:, :, n1:], k[:, :, n1:], v[:, :, n1:], impl="xla"
+            )
+            out = jnp.concatenate([o1, o2], axis=2)
+            return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+        np.testing.assert_allclose(
+            float(packed_loss(q, k, v)), float(separate_loss(q, k, v)),
+            rtol=1e-5,
+        )
+        gp = jax.grad(packed_loss, argnums=(0, 1, 2))(q, k, v)
+        gs = jax.grad(separate_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gs):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            )
+
     def test_xla_matches_manual_softmax(self, rng):
         q, k, v = self._rand_qkv(rng)
         out = mha_attention(q, k, v, impl="xla")
