@@ -39,6 +39,7 @@ def get_matches(cfg, image_info, images_shape):
             image_paths=image_info["paths"],
             image_info=image_info,
             weights_dir=cfg.GGS.get("matcher_ckpt_dir"),
+            max_keypoints=cfg.GGS.get("max_keypoints", 1024),
             match_threshold=cfg.GGS.get("match_threshold", 0.2),
             ransac_threshold_px=cfg.GGS.get("ransac_threshold_px", 4.0),
             min_pair_matches=cfg.GGS.get("min_pair_matches", 8),

@@ -152,6 +152,70 @@ class TestEvalEndToEnd:
         assert "Auc_30" in data and "apple" in data["Auc_30"]
         assert 0.0 <= data["Auc_30"]["apple"] <= 100.0
 
+    def test_eval_harness_with_live_matching_ggs(self, tmp_path, rng):
+        """test.py's GGS branch with the LIVE matching stack (random
+        MagicLeap-format checkpoints -> converters -> SuperPoint ->
+        SuperGlue -> RANSAC -> pack_for_ggs), mirroring reference
+        test.py:175-186.  Permissive thresholds so random weights still
+        produce verified matches; K small to keep CPU matching cheap."""
+        import shutil
+
+        import torch
+
+        from tests.test_data import make_co3d_fixture
+        from tests.test_matching import random_superglue_sd
+
+        img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng, n_seqs=1, n_frames=5)
+        shutil.copy(
+            os.path.join(ann_dir, "apple_train.jgz"),
+            os.path.join(ann_dir, "apple_test.jgz"),
+        )
+        ckpt_dir = tmp_path / "matcher"
+        ckpt_dir.mkdir()
+        sp = {}
+        dims = [
+            ("conv1a", 1, 64, 3), ("conv1b", 64, 64, 3),
+            ("conv2a", 64, 64, 3), ("conv2b", 64, 64, 3),
+            ("conv3a", 64, 128, 3), ("conv3b", 128, 128, 3),
+            ("conv4a", 128, 128, 3), ("conv4b", 128, 128, 3),
+            ("convPa", 128, 256, 3), ("convPb", 256, 65, 1),
+            ("convDa", 128, 256, 3), ("convDb", 256, 256, 1),
+        ]
+        for name, ci, co, k in dims:
+            sp[f"{name}.weight"] = torch.tensor(
+                rng.normal(size=(co, ci, k, k)).astype(np.float32)
+                / np.sqrt(ci * k * k)
+            )
+            sp[f"{name}.bias"] = torch.zeros(co)
+        torch.save(sp, ckpt_dir / "superpoint_v1.pth")
+        sg = {k: torch.tensor(v) for k, v in random_superglue_sd(rng).items()}
+        sg["bin_score"] = torch.tensor(0.5)
+        torch.save(sg, ckpt_dir / "superglue_outdoor.pth")
+
+        results = tmp_path / "results.json"
+        cmd = [
+            sys.executable, "test.py",
+            f"test.CO3D_DIR={img_dir}", f"test.CO3D_ANNOTATION_DIR={ann_dir}",
+            "test.category=[apple]", "test.min_num_images=4",
+            "test.img_size=32", "test.num_frames=4",
+            "GGS.enable=True", f"GGS.matcher_ckpt_dir={ckpt_dir}",
+            "GGS.max_keypoints=64", "GGS.match_threshold=0.0",
+            "GGS.ransac_threshold_px=50.0", "GGS.min_pair_matches=4",
+            "GGS.min_matches=4", "GGS.iter_num=2", "GGS.start_step=2",
+            "MODEL.IMAGE_FEATURE_EXTRACTOR.depth=1",
+            "MODEL.IMAGE_FEATURE_EXTRACTOR.scale_factors=[1.0]",
+            "MODEL.DENOISER.TRANSFORMER.num_encoder_layers=1",
+            "MODEL.DIFFUSER.timesteps=5",
+            f"results_file={results}",
+        ]
+        res = subprocess.run(
+            cmd, cwd=REPO, env=TEST_ENV, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        data = json.loads(results.read_text())
+        assert "Auc_30" in data and "apple" in data["Auc_30"]
+
 
 @pytest.mark.slow
 class TestTrainEndToEnd:
