@@ -1,0 +1,61 @@
+"""Run every benchmark and print a summary table + one JSON line per bench.
+
+Each bench script keeps its one-line-JSON contract (the driver consumes
+`bench.py` alone); this runner is the human-facing sweep:
+
+    python bench_all.py            # inference/GGS/matching benches
+    python bench_all.py full       # also the train bench (first compile of
+                                   # the 512-image train step takes ~25 min)
+
+Results land in benchmarks.json next to this file.
+"""
+
+import json
+import subprocess
+import sys
+
+BENCHES = [
+    ("bench.py", "20-frame inference, no GGS"),
+    ("bench_ggs.py", "20-frame inference, with GGS"),
+    ("bench_matching.py", "20-frame match extraction"),
+    ("bench_train.py", "reference-scale train step"),
+]
+
+
+def main():
+    full = len(sys.argv) > 1 and sys.argv[1] == "full"
+    rows = []
+    for script, label in BENCHES:
+        if not full and script == "bench_train.py":
+            continue
+        print(f"=== {label} ({script})", flush=True)
+        proc = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True
+        )
+        line = None
+        for ln in reversed(proc.stdout.splitlines()):
+            if ln.startswith("{"):
+                line = ln
+                break
+        if proc.returncode != 0 or line is None:
+            print(f"  FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}")
+            rows.append({"script": script, "label": label, "error": True})
+            continue
+        rec = json.loads(line)
+        rec.update(script=script, label=label)
+        rows.append(rec)
+        print(f"  {rec['metric']}: {rec['value']:.6g} {rec['unit']} "
+              f"(vs_baseline {rec['vs_baseline']:.4g})", flush=True)
+
+    with open("benchmarks.json", "w") as f:
+        json.dump(rows, f, indent=2)
+    print("\nwrote benchmarks.json")
+    for r in rows:
+        if not r.get("error"):
+            speedup = 1.0 / r["vs_baseline"] if r["vs_baseline"] else float("inf")
+            print(f"{r['label']:<38} {r['value']:>12.6g} {r['unit']:<6} "
+                  f"{speedup:>8.1f}x vs reference")
+
+
+if __name__ == "__main__":
+    main()
