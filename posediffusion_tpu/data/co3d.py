@@ -105,10 +105,13 @@ class Co3dDataset:
         self._jitter = ColorJitter()
         self._erase = RandomErase()
         # Per-item RNG streams: __getitem__ runs on a worker pool, and numpy
-        # Generators are not thread-safe; each item spawns its own child
-        # stream under a lock (SeedSequence.spawn mutates parent state).
+        # Generators are not thread-safe.  Batch specs from the sampler carry
+        # a per-item seed drawn in deterministic iteration order, so item
+        # randomness is independent of worker scheduling; spawn-under-lock is
+        # only the fallback for direct (seedless) calls.
         import threading
 
+        self._base_seed = seed
         self._seed_seq = np.random.SeedSequence(seed)
         self._rng_lock = threading.Lock()
 
@@ -144,7 +147,11 @@ class Co3dDataset:
     def __len__(self):
         return len(self.sequence_list)
 
-    def _item_rng(self) -> np.random.Generator:
+    def _item_rng(self, item_seed: Optional[int] = None) -> np.random.Generator:
+        if item_seed is not None:
+            return np.random.default_rng(
+                np.random.SeedSequence([self._base_seed, int(item_seed)])
+            )
         with self._rng_lock:
             child = self._seed_seq.spawn(1)[0]
         return np.random.default_rng(child)
@@ -175,11 +182,12 @@ class Co3dDataset:
         keep = (mask > 125)[None]
         return np.where(keep, img, 1.0).astype(np.float32)
 
-    def __getitem__(self, idx_n: Tuple[int, int]) -> Dict:
-        index, n_per_seq = idx_n
+    def __getitem__(self, idx_n: Tuple[int, ...]) -> Dict:
+        index, n_per_seq = idx_n[0], idx_n[1]
+        item_seed = idx_n[2] if len(idx_n) > 2 else None
         seq = self.sequence_list[index]
         metadata = self.rotations[seq]
-        rng = self._item_rng()
+        rng = self._item_rng(item_seed)
         ids = rng.choice(len(metadata), n_per_seq, replace=False)
         return self.get_data(index=index, ids=ids, rng=rng)
 

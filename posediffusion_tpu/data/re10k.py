@@ -77,6 +77,7 @@ class Re10KDataset:
         self._erase = RandomErase(scale=(0.02, 0.05))
         import threading
 
+        self._base_seed = seed
         self._seed_seq = np.random.SeedSequence(seed)
         self._rng_lock = threading.Lock()
 
@@ -120,7 +121,11 @@ class Re10KDataset:
     def __len__(self):
         return len(self.sequence_list)
 
-    def _item_rng(self) -> np.random.Generator:
+    def _item_rng(self, item_seed: Optional[int] = None) -> np.random.Generator:
+        if item_seed is not None:
+            return np.random.default_rng(
+                np.random.SeedSequence([self._base_seed, int(item_seed)])
+            )
         with self._rng_lock:
             child = self._seed_seq.spawn(1)[0]
         return np.random.default_rng(child)
@@ -138,11 +143,12 @@ class Re10KDataset:
         lr = ul + np.round(2 * extent).astype(np.int64)
         return np.concatenate([ul, lr])
 
-    def __getitem__(self, idx_n: Tuple[int, int]) -> Dict:
-        index, n_per_seq = idx_n
+    def __getitem__(self, idx_n: Tuple[int, ...]) -> Dict:
+        index, n_per_seq = idx_n[0], idx_n[1]
+        item_seed = idx_n[2] if len(idx_n) > 2 else None
         seq = self.sequence_list[index]
         metadata = self.wholedata[seq]
-        rng = self._item_rng()
+        rng = self._item_rng(item_seed)
         ids = rng.choice(len(metadata), n_per_seq, replace=False)
         return self.get_data(index=index, ids=ids, rng=rng)
 

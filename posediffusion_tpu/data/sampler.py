@@ -93,7 +93,12 @@ class DynamicBatchSampler:
             )
             n_pool = len(pool) if self.sequence_indices is not None else pool
             chosen = self.rng.choice(pool, size=n_seqs, replace=n_pool < n_seqs)
-            yield [(int(i), n_per_seq) for i in chosen]
+            # Per-item seeds drawn here, in deterministic single-threaded
+            # iteration order: item randomness (frame choice, crop jitter,
+            # color aug) must not depend on worker-pool scheduling, and
+            # duplicate (index, n) draws must still get distinct streams.
+            seeds = self.rng.integers(0, 2**63 - 1, size=n_seqs)
+            yield [(int(i), n_per_seq, int(s)) for i, s in zip(chosen, seeds)]
 
     def __len__(self):
         return self.dataset_len

@@ -33,7 +33,11 @@ def save(ckpt_dir: str, state, step: Optional[int] = None, keep: int = 3) -> str
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
-    _prune_old(ckpt_dir, keep)
+    # Multi-host: every process participates in the (collective) orbax save,
+    # but only process 0 prunes — concurrent rmtree of the same dirs races
+    # (reference gates ckpt housekeeping on rank 0, train.py:128,142).
+    if jax.process_index() == 0:
+        _prune_old(ckpt_dir, keep)
     return path
 
 

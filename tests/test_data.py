@@ -157,6 +157,40 @@ class TestCo3dDataset:
         np.testing.assert_allclose(item["R"][0], np.eye(3), atol=1e-4)
         np.testing.assert_allclose(item["T"][0], 0.0, atol=1e-4)
 
+    def test_threaded_loader_reproducible(self, rng, tmp_path):
+        """Two loader runs with equal seeds yield identical batches even
+        under thread-pool scheduling: item RNG comes from per-item seeds
+        drawn in the sampler's deterministic iteration order, not from
+        SeedSequence.spawn-call order (which depends on which worker thread
+        gets which item first)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng, n_seqs=3, n_frames=8)
+
+        def run():
+            ds = Co3dDataset(
+                category=("apple",), split="train", CO3D_DIR=img_dir,
+                CO3D_ANNOTATION_DIR=ann_dir, min_num_images=2, img_size=32,
+                normalize_cameras=True, compute_optical=True, color_aug=True,
+                seed=5,
+            )
+            s = DynamicBatchSampler(
+                len(ds), dataset_len=3, max_images=16, images_per_seq=(3, 7),
+                frame_buckets=(4, 8), seed=9,
+            )
+            out = []
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for spec in s:
+                    items = list(pool.map(ds.__getitem__, spec))
+                    out.append(
+                        collate_batch(items, pad_frames_to=s.bucket_for(spec[0][1]))
+                    )
+            return out
+
+        for ba, bb in zip(run(), run()):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
     def test_eval_time_deterministic_crop(self, rng, tmp_path):
         img_dir, ann_dir = make_co3d_fixture(str(tmp_path), rng)
         ds = Co3dDataset(
@@ -228,7 +262,7 @@ class TestSamplerAndCollation:
                 frame_buckets=(4, 8), seed=1 + 1000 * p,
                 sequence_indices=shard,
             )
-            idx = {i for batch in s for i, _ in batch}
+            idx = {i for batch in s for i, *_ in batch}
             assert idx <= set(shard.tolist())
             seen.append(idx)
         for a in range(n_proc):

@@ -94,7 +94,27 @@ new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
 loss = float(metrics["loss"])
 assert np.isfinite(loss)
 assert int(jax.device_get(new_state.step)) == 1
-print("RESULT " + json.dumps({"pid": pid, "loss": loss, "specs": specs}), flush=True)
+
+# ---- multi-host checkpoint round-trip: all processes join the collective
+# orbax save (only process 0 prunes), then restore into a fresh state and
+# verify step + params survive across the process boundary.
+from posediffusion_tpu.training import restore, save
+
+ckpt_dir = os.environ["DIST_TEST_CKPT_DIR"]
+path = save(ckpt_dir, new_state)
+fresh = TrainState.create(
+    jax.device_put(params, jax.tree.map(lambda a: a.sharding, new_state.params)), opt
+)
+restored = restore(path, fresh)
+assert int(jax.device_get(restored.step)) == 1
+ref_leaves = jax.tree.leaves(new_state.params)
+got_leaves = jax.tree.leaves(restored.params)
+for a, b in zip(ref_leaves, got_leaves):
+    np.testing.assert_array_equal(jax.device_get(a), jax.device_get(b))
+ckpt_ok = True
+
+print("RESULT " + json.dumps(
+    {"pid": pid, "loss": loss, "specs": specs, "ckpt_ok": ckpt_ok}), flush=True)
 """
 
 
@@ -115,6 +135,7 @@ def test_two_process_distributed_train_step(tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
             JAX_PLATFORMS="cpu",
+            DIST_TEST_CKPT_DIR=str(tmp_path / "ckpts"),
         )
         # Drop any single-process virtual-device forcing from the pytest env.
         env.pop("XLA_FLAGS", None)
@@ -141,6 +162,9 @@ def test_two_process_distributed_train_step(tmp_path):
 
     # SPMD consistency: both controllers computed the same global loss.
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], rel=1e-6)
+
+    # Checkpoint round-trip succeeded on both controllers.
+    assert results[0]["ckpt_ok"] and results[1]["ckpt_ok"]
 
     # Data sharding: same shape stream (frames-per-seq and batch size match
     # step-for-step), different items.

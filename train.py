@@ -190,10 +190,15 @@ def main():
 
     sample_eval = jax.jit(make_eval_step(model))
 
+    # Only process 0 writes stats files — every rank writing the same
+    # stats.jsonl / stats.png races (reference gates on rank 0,
+    # pose_diffusion/train.py:128-134).  All ranks still accumulate stats
+    # locally for their own status prints.
+    is_main = jax.process_index() == 0
     stats = StatsLogger(
         ["loss", "lr", "sec/it", "Auc_30", "Racc_5", "Racc_15", "Racc_30",
          "Tacc_5", "Tacc_15", "Tacc_30"],
-        jsonl_path=os.path.join(cfg.exp_dir, "stats.jsonl"),
+        jsonl_path=os.path.join(cfg.exp_dir, "stats.jsonl") if is_main else None,
     )
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -266,14 +271,16 @@ def main():
         finally:
             stop.set()
 
-        stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
+        if is_main:
+            stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
 
         if epoch % t.ckpt_interval == 0 or epoch == t.epochs - 1:
             path = save(cfg.exp_dir, state)
             print(f"saved checkpoint {path}")
 
     stats.flush()
-    stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
+    if is_main:
+        stats.plot(os.path.join(cfg.exp_dir, "stats.png"))
     save(cfg.exp_dir, state)
     return True
 
