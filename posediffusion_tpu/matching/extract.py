@@ -2,9 +2,10 @@
 
 Replaces the reference's hloc + COLMAP pipeline
 (reference: pose_diffusion/util/match_extraction.py:27-153): SuperPoint on
-every frame, exhaustive pairing, SuperGlue matching, native RANSAC
-fundamental-matrix verification (no SQLite database — arrays flow through),
-then keypoint remapping from original-image pixels into the cropped/rescaled
+every frame, exhaustive pairing, SuperGlue matching, native COLMAP-style
+two-view verification (F + H model selection with planar/pure-rotation
+degeneracy classification; no SQLite database — arrays flow through), then
+keypoint remapping from original-image pixels into the cropped/rescaled
 frame the pose model sees.
 
 Output matches the reference's ``extract_match`` contract:
@@ -24,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from posediffusion_tpu.matching.ransac import verify_matches
+from posediffusion_tpu.matching.ransac import PLANAR_OR_PANORAMIC, verify_two_view
 from posediffusion_tpu.matching.superglue import match_pair
 
 _GRAY_W = np.array([0.299, 0.587, 0.114], dtype=np.float32)
@@ -167,6 +168,7 @@ def extract_match(
     min_pair_matches: int = 8,
     use_fused: Optional[bool] = None,
     pair_chunk: int = 32,
+    keep_planar: bool = True,
 ):
     """Extract verified matches across all frame pairs.
 
@@ -268,11 +270,22 @@ def extract_match(
             continue
         p0 = kpts_np[a][sel]
         p1 = kpts_np[b][matches0[sel]]
-        mask, _, count = verify_matches(
-            p0, p1, threshold_px=ransac_threshold_px, seed=a * n + b
+        # COLMAP-style model selection (F + H + degeneracy classification):
+        # a planar scene or pure-rotation pair is flagged PLANAR_OR_PANORAMIC
+        # and its inliers come from H — an F fit on such a pair is arbitrary
+        # and would pass bogus matches into GGS (reference parity:
+        # pycolmap estimation_and_geometric_verification,
+        # util/match_extraction.py:125-130).
+        res = verify_two_view(
+            p0, p1, max_error_px=ransac_threshold_px,
+            min_num_inliers=min_pair_matches, seed=a * n + b,
         )
+        count = res["num_inliers"]
         if count < min_pair_matches:
             continue
+        if res["config"] == PLANAR_OR_PANORAMIC and not keep_planar:
+            continue
+        mask = res["inlier_mask"]
         kp1_all.append(p0[mask])
         kp2_all.append(p1[mask])
         i12_all.append(np.repeat([[a, b]], count, axis=0))

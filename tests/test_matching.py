@@ -17,6 +17,7 @@ from posediffusion_tpu.matching import (
     match_pair,
     simple_nms,
     verify_matches,
+    verify_two_view,
 )
 from posediffusion_tpu.matching.superpoint import SuperPointNet
 
@@ -68,6 +69,121 @@ class TestRansac:
         assert count == 0
         mask, F, count = verify_matches(np.zeros((0, 2)), np.zeros((0, 2)))
         assert count == 0 and mask.shape == (0,)
+
+
+K_SYN = np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]])
+
+
+def synthetic_planar_two_view(rng, n=300, n_outliers=0, noise=0.0):
+    """Points on a single 3D plane seen from two views (degenerate for F)."""
+    import scipy.spatial.transform as st
+
+    R2 = st.Rotation.from_rotvec([0.05, 0.12, 0.03]).as_matrix()
+    t2 = np.array([0.4, 0.1, 0.05])
+    # plane z = 6 + 0.2 x + 0.1 y
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    X = np.concatenate([xy, 6.0 + 0.2 * xy[:, :1] + 0.1 * xy[:, 1:2]], axis=1)
+
+    def proj(R, t):
+        xc = X @ R.T + t
+        p = xc @ K_SYN.T
+        return p[:, :2] / p[:, 2:3]
+
+    p1 = proj(np.eye(3), np.zeros(3)) + rng.normal(size=(n, 2)) * noise
+    p2 = proj(R2, t2) + rng.normal(size=(n, 2)) * noise
+    if n_outliers:
+        p2[:n_outliers] = rng.uniform(0, 320, size=(n_outliers, 2))
+    return p1.astype(np.float32), p2.astype(np.float32)
+
+
+def synthetic_pure_rotation(rng, n=300, noise=0.0):
+    """Two views related by rotation only — no parallax, epipolar geometry
+    undefined; any F 'fit' is arbitrary."""
+    import scipy.spatial.transform as st
+
+    R2 = st.Rotation.from_rotvec([0.03, 0.15, 0.02]).as_matrix()
+    X = rng.normal(size=(n, 3)) * 1.5 + np.array([0, 0, 6.0])
+
+    def proj(R):
+        xc = X @ R.T
+        p = xc @ K_SYN.T
+        return p[:, :2] / p[:, 2:3]
+
+    p1 = proj(np.eye(3)) + rng.normal(size=(n, 2)) * noise
+    p2 = proj(R2) + rng.normal(size=(n, 2)) * noise
+    return p1.astype(np.float32), p2.astype(np.float32)
+
+
+class TestTwoViewVerification:
+    """COLMAP-parity model selection (reference: pycolmap
+    estimation_and_geometric_verification, util/match_extraction.py:125-130)."""
+
+    def test_general_scene_uncalibrated(self, rng):
+        from posediffusion_tpu.matching.ransac import UNCALIBRATED
+
+        p1, p2 = synthetic_two_view(rng)
+        res = verify_two_view(p1, p2, max_error_px=1.0)
+        assert res["config"] == UNCALIBRATED
+        assert res["num_inliers"] == len(p1)
+
+    def test_general_scene_calibrated(self, rng):
+        from posediffusion_tpu.matching.ransac import CALIBRATED
+
+        p1, p2 = synthetic_two_view(rng)
+        res = verify_two_view(p1, p2, K1=K_SYN, K2=K_SYN, max_error_px=1.0)
+        assert res["config"] == CALIBRATED
+        assert res["num_inliers"] >= 0.98 * len(p1)
+        # E lives on the essential manifold: singular values (s, s, 0)
+        s = np.linalg.svd(res["E"], compute_uv=False)
+        assert s[0] == pytest.approx(s[1], rel=1e-6)
+        assert s[2] == pytest.approx(0.0, abs=1e-9 * s[0])
+        # epipolar identity on normalized coordinates
+        Kinv = np.linalg.inv(K_SYN)
+        hom = lambda p: np.concatenate([p, np.ones((len(p), 1))], 1)
+        n1 = hom(p1) @ Kinv.T
+        n2 = hom(p2) @ Kinv.T
+        res_e = np.einsum("ni,ij,nj->n", n2, res["E"], n1)
+        assert np.abs(res_e).max() / np.linalg.norm(res["E"]) < 1e-3
+
+    def test_planar_scene_flagged(self, rng):
+        from posediffusion_tpu.matching.ransac import PLANAR_OR_PANORAMIC
+
+        p1, p2 = synthetic_planar_two_view(rng)
+        res = verify_two_view(p1, p2, max_error_px=1.0)
+        assert res["config"] == PLANAR_OR_PANORAMIC
+        # H transfers every point correctly
+        hom = lambda p: np.concatenate([p, np.ones((len(p), 1))], 1)
+        t = hom(p1) @ res["H"].T
+        t = t[:, :2] / t[:, 2:3]
+        assert np.abs(t - p2).max() < 1.0
+
+    def test_pure_rotation_flagged(self, rng):
+        from posediffusion_tpu.matching.ransac import PLANAR_OR_PANORAMIC
+
+        p1, p2 = synthetic_pure_rotation(rng)
+        res = verify_two_view(p1, p2, max_error_px=1.0)
+        assert res["config"] == PLANAR_OR_PANORAMIC
+
+    def test_planar_outliers_rejected_by_H(self, rng):
+        """The VERDICT scenario: on a planar pair, an F fit is arbitrary and
+        can absorb bogus matches as 'inliers'; the H model must reject them."""
+        from posediffusion_tpu.matching.ransac import PLANAR_OR_PANORAMIC
+
+        p1, p2 = synthetic_planar_two_view(rng, n_outliers=60, noise=0.2)
+        res = verify_two_view(p1, p2, max_error_px=2.0, seed=3)
+        assert res["config"] == PLANAR_OR_PANORAMIC
+        mask = res["inlier_mask"]
+        assert mask[:60].sum() <= 3       # bogus matches rejected
+        assert mask[60:].sum() >= 220     # true planar matches kept
+
+    def test_too_few_inliers_degenerate(self, rng):
+        from posediffusion_tpu.matching.ransac import DEGENERATE
+
+        p1 = rng.uniform(0, 320, size=(30, 2)).astype(np.float32)
+        p2 = rng.uniform(0, 320, size=(30, 2)).astype(np.float32)
+        res = verify_two_view(p1, p2, max_error_px=0.5, min_num_inliers=25, seed=2)
+        assert res["config"] == DEGENERATE
+        assert res["num_inliers"] == 0
 
 
 class TestSuperPoint:
