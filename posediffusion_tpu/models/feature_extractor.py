@@ -76,7 +76,9 @@ class MultiScaleImageFeatureExtractor(nn.Module):
             if s == 1:
                 inp = img
             else:
-                inp = resize_bilinear(img, (scale_size(h, s), scale_size(w, s)))
+                inp = resize_bilinear(
+                    img, (scale_size(h, s), scale_size(w, s)), scale_factor=s
+                )
             feat = net(inp)
             total = feat if total is None else total + feat
         return total / len(self.scale_factors)
@@ -155,7 +157,9 @@ def extract_features_fused(
         if s == 1:
             inp = img
         else:
-            inp = resize_bilinear(img, (scale_size(H, s), scale_size(W, s)))
+            inp = resize_bilinear(
+                img, (scale_size(H, s), scale_size(W, s)), scale_factor=s
+            )
         toks.append(embed_scale(inp))
 
     # pack scales along the token axis; block-diagonal bias (constant at

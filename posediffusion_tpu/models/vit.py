@@ -175,7 +175,8 @@ class VisionTransformer(nn.Module):
             toks = []
             for s in scale_factors:
                 inp = images_nchw if s == 1 else resize_bilinear(
-                    images_nchw, (scale_size(H, s), scale_size(W, s))
+                    images_nchw, (scale_size(H, s), scale_size(W, s)),
+                    scale_factor=s,
                 )
                 toks.append(embed(inp))
             offsets = np.cumsum([0] + [t.shape[1] for t in toks])

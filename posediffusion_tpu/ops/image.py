@@ -24,14 +24,20 @@ def imagenet_normalize(images: jnp.ndarray) -> jnp.ndarray:
     return (images - mean) / std
 
 
-def _linear_weight_matrix(in_size: int, out_size: int):
+def _linear_weight_matrix(in_size: int, out_size: int, scale_factor=None):
     """(out, in) interpolation matrix with exact torch
     ``F.interpolate(mode="bilinear", align_corners=False)`` semantics:
     half-pixel centers, source index clamped at 0, edge clamping.  Sizes are
-    static, so this is a trace-time numpy constant."""
+    static, so this is a trace-time numpy constant.
+
+    ``scale_factor``: when resizing via ``F.interpolate(scale_factor=s)``
+    (the reference's multiscale pyramid, image_feature_extractor.py:87),
+    torch maps coordinates with the GIVEN scale, not out/in — for non-exact
+    scales like 1/3 on 224px that shifts source coordinates by up to ~2px
+    at the far edge.  Pass the original factor to reproduce it."""
     import numpy as np
 
-    scale = in_size / out_size
+    scale = (1.0 / scale_factor) if scale_factor else (in_size / out_size)
     src = np.maximum((np.arange(out_size) + 0.5) * scale - 0.5, 0.0)
     i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
@@ -42,11 +48,15 @@ def _linear_weight_matrix(in_size: int, out_size: int):
     return W
 
 
-def resize_bilinear(images: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear(
+    images: jnp.ndarray, size_hw: Tuple[int, int], scale_factor=None
+) -> jnp.ndarray:
     """Bilinear resize of (..., 3, H, W) images to (..., 3, h, w), matching
     torch ``F.interpolate(mode="bilinear", align_corners=False)`` (half-pixel
     centers, no antialias), which the reference uses for both the multiscale
-    pyramid and demo-time preprocessing.
+    pyramid and demo-time preprocessing.  ``scale_factor`` reproduces the
+    ``F.interpolate(scale_factor=s)`` coordinate mapping (see
+    ``_linear_weight_matrix``).
 
     Separable resize as two matmuls with trace-time constant weight
     matrices: on TPU these tile onto the MXU, ~10x faster than the
@@ -56,8 +66,8 @@ def resize_bilinear(images: jnp.ndarray, size_hw: Tuple[int, int]) -> jnp.ndarra
     h, w = images.shape[-2:]
     if (oh, ow) == (h, w):
         return images
-    Wh = jnp.asarray(_linear_weight_matrix(h, oh), images.dtype)
-    Ww = jnp.asarray(_linear_weight_matrix(w, ow), images.dtype)
+    Wh = jnp.asarray(_linear_weight_matrix(h, oh, scale_factor), images.dtype)
+    Ww = jnp.asarray(_linear_weight_matrix(w, ow, scale_factor), images.dtype)
     out = jnp.einsum("oh,...hw->...ow", Wh, images)
     return jnp.einsum("pw,...ow->...op", Ww, out)
 

@@ -71,6 +71,28 @@ class TestImages:
         )[0].numpy()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
+    def test_resize_scale_factor_matches_torch(self, rng):
+        """The reference's multiscale pyramid resizes with
+        F.interpolate(scale_factor=s) (image_feature_extractor.py:87), whose
+        coordinate mapping uses the GIVEN scale, not out/in — at s=1/3 on
+        224px that differs from a size-based resize by ~2px at the edges."""
+        import jax.numpy as jnp
+
+        torch = pytest.importorskip("torch")
+        from posediffusion_tpu.ops.image import resize_bilinear, scale_size
+
+        img = rng.uniform(size=(1, 3, 224, 224)).astype(np.float32)
+        for s in (1 / 2, 1 / 3):
+            out = scale_size(224, s)
+            ours = np.asarray(
+                resize_bilinear(jnp.asarray(img), (out, out), scale_factor=s)
+            )
+            ref = torch.nn.functional.interpolate(
+                torch.tensor(img), scale_factor=s, mode="bilinear",
+                align_corners=False,
+            ).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+
     def test_load_and_preprocess_images(self, rng, tmp_path):
         for i in range(3):
             arr = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
