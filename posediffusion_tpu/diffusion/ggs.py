@@ -290,13 +290,18 @@ def geometry_guided_sampling(
     return x
 
 
-# VMEM budget for the fused kernel: every (P, Q) operand plus ~dozens of
-# temporaries stay resident in the ~16 MB core VMEM.
+# VMEM budget for the resident fused kernel: every (P, Q) operand plus
+# ~dozens of temporaries stay resident in the ~16 MB core VMEM.  Above this
+# the pair-chunked kernel streams the match table from HBM instead (a few MB
+# per iteration — tens of microseconds at v5e bandwidth), so the fused path
+# has no practical upper size limit and the XLA autodiff fallback is only
+# for CPU or batched (B > 1) conditioning.
 MAX_FUSED_ELEMENTS = 96 * 1024  # P * Q
 
 
 def fused_fits(grouped) -> bool:
-    """Whether a GroupedMatches layout fits the fused kernel's VMEM budget."""
+    """Whether a GroupedMatches layout fits the RESIDENT fused kernel's VMEM
+    budget; bigger tables use the pair-chunked streaming kernel."""
     return (
         grouped is not None
         and grouped.kp1.shape[0] * grouped.kp1.shape[1] <= MAX_FUSED_ELEMENTS
@@ -312,9 +317,16 @@ def geometry_guided_sampling_fused(
 ) -> jnp.ndarray:
     """5-phase GGS where each phase is ONE fused Pallas kernel (SGD loop,
     hand-derived gradients, clip, early-stop all in VMEM).  Semantics match
-    :func:`geometry_guided_sampling`; see ops/ggs_kernel.py."""
+    :func:`geometry_guided_sampling`; see ops/ggs_kernel.py.
+
+    Match tables within MAX_FUSED_ELEMENTS run the VMEM-resident kernel;
+    bigger ones (e.g. 4096-keypoint detection densities) run the
+    pair-chunked kernel that streams the table from HBM per iteration."""
     del t
-    from posediffusion_tpu.ops.ggs_kernel import ggs_phase_fused
+    from posediffusion_tpu.ops.ggs_kernel import (
+        ggs_phase_fused,
+        ggs_phase_fused_chunked,
+    )
 
     if model_mean.shape[0] != 1:
         raise ValueError(
@@ -322,13 +334,20 @@ def geometry_guided_sampling_fused(
             f"B={model_mean.shape[0]} — use the autodiff path for batches"
         )
     x = model_mean[0]  # (N, 9)
+    resident = fused_fits(grouped)
 
     def phase(x, uR, uT, uF):
         iters = cfg.iter_num * (2 if (uR and uT and uF) else 1)
-        return ggs_phase_fused(
-            x, grouped, image_hw, uR, uT, uF, cfg.sampson_max,
+        kw = dict(
             iters=iters, lr=cfg.learning_rate, momentum=cfg.momentum,
             alpha=cfg.alpha, min_matches=float(cfg.min_matches),
+        )
+        if resident:
+            return ggs_phase_fused(
+                x, grouped, image_hw, uR, uT, uF, cfg.sampson_max, **kw
+            )
+        return ggs_phase_fused_chunked(
+            x, grouped, image_hw, uR, uT, uF, cfg.sampson_max, **kw
         )
 
     x = phase(x, True, True, True)
@@ -353,7 +372,7 @@ def make_ggs_cond_fn(
     """
     import jax as _jax
 
-    use_fused = fused_fits(grouped) and _jax.devices()[0].platform != "cpu"
+    use_fused = grouped is not None and _jax.devices()[0].platform != "cpu"
 
     def cond_fn(mean, t):
         if use_fused:
@@ -366,9 +385,10 @@ def make_ggs_cond_fn(
 def build_cond_fn(kp1, kp2, i12, n_frames: int, image_hw: Tuple[int, int], cfg: GGSConfig):
     """Pack raw host matches into exactly one layout and build the cond_fn.
 
-    Chooses the fused Pallas path (pair-grouped layout) when it fits the VMEM
-    budget on an accelerator, else the flat autodiff path — packing only the
-    layout that will actually run.
+    On an accelerator the fused Pallas path always runs (VMEM-resident
+    kernel for small tables, pair-chunked HBM-streaming kernel above
+    MAX_FUSED_ELEMENTS); on CPU the flat autodiff path runs — packing only
+    the layout that will actually be used.
     """
     import jax as _jax
     import numpy as np
@@ -377,11 +397,11 @@ def build_cond_fn(kp1, kp2, i12, n_frames: int, image_hw: Tuple[int, int], cfg: 
 
     if _jax.devices()[0].platform != "cpu":
         grouped = pack_matches_grouped(kp1, kp2, i12, n_frames)
-        if fused_fits(grouped):
-            def cond_fn(mean, t):
-                return geometry_guided_sampling_fused(mean, t, grouped, image_hw, cfg)
 
-            return cond_fn
+        def cond_fn(mean, t):
+            return geometry_guided_sampling_fused(mean, t, grouped, image_hw, cfg)
+
+        return cond_fn
 
     pad_to = 1 << int(np.ceil(np.log2(max(len(kp1), 1))))
     matches = pack_matches(kp1, kp2, i12, n_frames, pad_to=pad_to)

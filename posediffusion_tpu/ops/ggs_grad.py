@@ -112,6 +112,34 @@ def pack_matches_grouped(
     )
 
 
+def pad_grouped_pairs(gm: GroupedMatches, multiple: int) -> GroupedMatches:
+    """Pad the pair axis P to a multiple of ``multiple`` with inert rows.
+
+    Pad rows mirror an empty real pair slot: B1/B2 one-hot at frames 0/1 (so
+    every quantity stays finite — an all-zero selector row would divide by a
+    zero quaternion norm) and valid == 0 (so they contribute nothing to the
+    loss, count, or gradient)."""
+    P = gm.kp1.shape[0]
+    pad = (-P) % multiple
+    if pad == 0:
+        return gm
+    n_frames = gm.B1.shape[1]
+    kp_pad = np.zeros((pad,) + gm.kp1.shape[1:], np.float32)
+    kp_pad[..., 2] = 1.0
+    b1 = np.zeros((pad, n_frames), np.float32)
+    b2 = np.zeros((pad, n_frames), np.float32)
+    b1[:, 0] = 1.0
+    b2[:, min(1, n_frames - 1)] = 1.0
+    cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b)], axis=0)
+    return GroupedMatches(
+        kp1=cat(gm.kp1, kp_pad),
+        kp2=cat(gm.kp2, kp_pad),
+        valid=cat(gm.valid, np.zeros((pad, gm.valid.shape[1]), np.float32)),
+        B1=cat(gm.B1, b1),
+        B2=cat(gm.B2, b2),
+    )
+
+
 def sampson_loss_and_grad(
     x: jnp.ndarray,  # (N, 9) pose encodings for ONE sequence
     gm: GroupedMatches,
@@ -140,9 +168,18 @@ def loss_and_grad_core(
     update_T: bool,
     update_FL: bool,
     sampson_max: float,
+    normalize: bool = True,
 ):
     """Component-array form of the loss+grad: pure elementwise/reduce/matmul
-    jnp that lowers unchanged inside a Pallas kernel."""
+    jnp that lowers unchanged inside a Pallas kernel.
+
+    ``normalize=False`` returns the UN-normalized loss sum and gradient
+    (denominator 1 instead of the contributing-match count).  The whole
+    backward chain is linear in the upstream adjoint, so a caller that
+    partitions the (P, Q) match table into chunks can sum per-chunk
+    unnormalized gradients and divide once by the global count — this is
+    what the pair-chunked Pallas kernel does to stream match tables bigger
+    than VMEM (ops/ggs_kernel.ggs_phase_fused_chunked)."""
     N = x.shape[0]
     h, w = image_hw
     f32 = jnp.float32
@@ -251,7 +288,7 @@ def loss_and_grad_core(
 
     keep = valid * (samp < sampson_max).astype(f32)
     count = jnp.sum(keep)
-    denom = jnp.maximum(count, 1.0)
+    denom = jnp.maximum(count, 1.0) if normalize else jnp.asarray(1.0, f32)
     loss = jnp.sum(keep * samp) / denom
 
     # ======================== backward (dL = 1) ========================

@@ -116,6 +116,58 @@ class TestManualGradient:
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
 
+    def test_chunked_phase_matches_resident(self, rng):
+        """Pair-chunked streaming kernel == VMEM-resident kernel: the
+        backward is linear in the upstream adjoint, so per-chunk
+        unnormalized gradients summed then divided by the global count must
+        reproduce the single-block result exactly (including P-padding)."""
+        from posediffusion_tpu.diffusion.ggs import GGSConfig
+        from posediffusion_tpu.ops.ggs_kernel import (
+            ggs_phase_fused,
+            ggs_phase_fused_chunked,
+        )
+
+        x, gm, _ = setup_case(rng, n=6)  # P = 15 pairs -> pads to 16
+        cfg = GGSConfig(iter_num=15)
+        kw = dict(
+            iters=30, lr=cfg.learning_rate, momentum=cfg.momentum,
+            alpha=cfg.alpha, min_matches=float(cfg.min_matches),
+            interpret=True,
+        )
+        ref = ggs_phase_fused(x, gm, (224, 224), True, True, True, 10.0, **kw)
+        out = ggs_phase_fused_chunked(
+            x, gm, (224, 224), True, True, True, 10.0, chunk_pairs=4, **kw
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_chunked_early_stop(self, rng):
+        """Sticky early-stop must aggregate the count across chunks."""
+        from posediffusion_tpu.ops.ggs_kernel import ggs_phase_fused_chunked
+
+        x, gm, _ = setup_case(rng)
+        gm = gm._replace(valid=gm.valid.at[:, 5:].set(0.0).at[1:].set(0.0))
+        out = ggs_phase_fused_chunked(
+            x, gm, (224, 224), True, True, True, 10.0,
+            iters=10, lr=0.01, momentum=0.9, alpha=1e-4, min_matches=10.0,
+            chunk_pairs=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_pad_grouped_pairs_inert(self, rng):
+        """P-padding rows change neither loss, count, nor gradient."""
+        from posediffusion_tpu.ops.ggs_grad import pad_grouped_pairs
+
+        x, gm, _ = setup_case(rng)
+        padded = pad_grouped_pairs(gm, 8)
+        assert padded.kp1.shape[0] % 8 == 0
+        l0, c0, g0 = sampson_loss_and_grad(x, gm, (224, 224), True, True, True, 10.0)
+        l1, c1, g1 = sampson_loss_and_grad(x, padded, (224, 224), True, True, True, 10.0)
+        assert int(c0) == int(c1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        # pad rows contribute exact zeros; the only delta is f32 matmul
+        # reassociation from the changed contraction size (P 15 -> 16)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5)
+
     def test_grouped_packing_structure(self, rng):
         cam, kp1, kp2, i12 = make_gt_scene(rng, n=4, n_points=10)
         gm = pack_matches_grouped(kp1, kp2, i12, 4)
