@@ -6,16 +6,22 @@ GGS inference (reference README.md:45; hloc SuperPoint+SuperGlue + COLMAP
 RANSAC on a Quadro GP100).
 
 Workload: the exact demo-path matching stage (matching/extract.py) — 20
-frames at 224px: per-frame SuperPoint detection (1024 keypoints), SuperGlue
-matching over all 190 exhaustive pairs (50 Sinkhorn iterations), and C++
-RANSAC essential-matrix verification per surviving pair.  Weights are
+frames at 224px: per-frame SuperPoint detection (4096-keypoint cap, hloc
+superpoint_inloc parity, trimmed to detected density), SuperGlue matching
+over all 190 exhaustive pairs (50 Sinkhorn iterations), and C++ RANSAC /
+COLMAP-style two-view verification per surviving pair.  Weights are
 randomly initialized — latency is weight-independent (keypoint/match
 COUNTS downstream of thresholds can vary with weights, but every pair pays
 the full fixed-shape detect+match cost either way).
+
+``--dense`` runs 768px frames instead, where detection saturates the 4096
+cap — the hloc-density worst case that routes through the batched XLA
+matcher (K past the fused kernel's VMEM model).
 """
 
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -24,11 +30,13 @@ import numpy as np
 BASELINE_SECONDS = 20.0
 N_FRAMES = 20
 IMAGE_SIZE = 224
+DENSE_IMAGE_SIZE = 768
 WARMUP = 1
 REPEATS = 3
 
 
-def main():
+def main(dense: bool = False):
+    image_size = DENSE_IMAGE_SIZE if dense else IMAGE_SIZE
     from posediffusion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -44,10 +52,8 @@ def main():
     # the same compute graph as converted released checkpoints
     sp_params = SuperPointNet().init(
         jax.random.PRNGKey(0),
-        np.zeros((1, 1, IMAGE_SIZE, IMAGE_SIZE), np.float32),
+        np.zeros((1, 1, 224, 224), np.float32),
     )
-    import sys
-
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     from test_matching import random_superglue_sd
 
@@ -60,12 +66,12 @@ def main():
         from PIL import Image
 
         paths = []
-        yy, xx = np.mgrid[0:IMAGE_SIZE, 0:IMAGE_SIZE].astype(np.float32)
+        yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32)
         for i in range(N_FRAMES):
             tex = (
                 0.5
                 + 0.25 * np.sin(xx / 7 + i) * np.cos(yy / 9 - i)
-                + 0.25 * rng.uniform(size=(IMAGE_SIZE, IMAGE_SIZE))
+                + 0.25 * rng.uniform(size=(image_size, image_size))
             )
             img = (np.clip(tex, 0, 1) * 255).astype(np.uint8)
             p = os.path.join(tmpdir, f"frame_{i:03d}.jpg")
@@ -90,10 +96,11 @@ def main():
         shutil.rmtree(tmpdir, ignore_errors=True)
 
     value = float(np.median(times))
+    metric = "sec_per_20frame_match_extraction" + ("_4096kp" if dense else "")
     print(
         json.dumps(
             {
-                "metric": "sec_per_20frame_match_extraction",
+                "metric": metric,
                 "value": value,
                 "unit": "s",
                 "vs_baseline": value / BASELINE_SECONDS,
@@ -103,4 +110,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(dense="--dense" in sys.argv)

@@ -39,7 +39,7 @@ def get_matches(cfg, image_info, images_shape):
             image_paths=image_info["paths"],
             image_info=image_info,
             weights_dir=cfg.GGS.get("matcher_ckpt_dir"),
-            max_keypoints=cfg.GGS.get("max_keypoints", 1024),
+            max_keypoints=cfg.GGS.get("max_keypoints", 4096),
             match_threshold=cfg.GGS.get("match_threshold", 0.2),
             ransac_threshold_px=cfg.GGS.get("ransac_threshold_px", 4.0),
             min_pair_matches=cfg.GGS.get("min_pair_matches", 8),
@@ -160,7 +160,12 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, "predictions.npz"), **out)
     fig_path = plot_cameras(camera_sets, os.path.join(out_dir, "cameras.png"))
-    print(f"Saved predictions + {fig_path}")
+    from posediffusion_tpu.utils.visualize import export_scene_html
+
+    html_path = export_scene_html(
+        camera_sets, os.path.join(out_dir, "cameras.html")
+    )
+    print(f"Saved predictions + {fig_path} + {html_path} (interactive)")
     return out
 
 

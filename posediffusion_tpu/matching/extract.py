@@ -90,19 +90,47 @@ def _match(sg_params, d0, d1, k0, k1, s0, s1, m0, m1, image_hw0, image_hw1,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sinkhorn_iterations", "match_threshold")
+    jax.jit, static_argnames=("sinkhorn_iterations", "match_threshold", "impl")
 )
-def _match_chunk(x, v_all, sa, sb, stacks, sinkhorn_iterations, match_threshold):
-    """Gather a pair chunk + run the fused matcher in ONE dispatch (the
-    eager per-chunk take/stack ops otherwise rate-limit through the host)."""
+def _match_chunk(x, v_all, sa, sb, stacks, sinkhorn_iterations, match_threshold,
+                 impl="pallas"):
+    """Gather a pair chunk + run the batched matcher in ONE dispatch (the
+    eager per-chunk take/stack ops otherwise rate-limit through the host).
+
+    ``impl="pallas"`` is the VMEM-resident fused kernel; ``impl="xla"`` is
+    the batched fori-loop GNN for keypoint counts past the kernel's VMEM
+    budget (matching.superglue.match_pairs_batched_xla)."""
+    xp = jnp.stack([jnp.take(x, sa, axis=0), jnp.take(x, sb, axis=0)], axis=1)
+    m0 = jnp.take(v_all, sa, axis=0)
+    m1 = jnp.take(v_all, sb, axis=0)
+    if impl == "xla":
+        from posediffusion_tpu.matching.superglue import match_pairs_batched_xla
+
+        return match_pairs_batched_xla(
+            xp, m0, m1, stacks,
+            sinkhorn_iterations=sinkhorn_iterations,
+            match_threshold=match_threshold,
+        )
     from posediffusion_tpu.ops.superglue_kernel import fused_match_pairs
 
-    xp = jnp.stack([jnp.take(x, sa, axis=0), jnp.take(x, sb, axis=0)], axis=1)
     return fused_match_pairs(
-        xp, jnp.take(v_all, sa, axis=0), jnp.take(v_all, sb, axis=0),
-        stacks, sinkhorn_iters=sinkhorn_iterations,
+        xp, m0, m1, stacks, sinkhorn_iters=sinkhorn_iterations,
         match_threshold=match_threshold,
     )
+
+
+# VMEM model for the fused SuperGlue kernel: token scratch C x 2 x K x D f32
+# plus ~4 live (K+8)^2 f32 Sinkhorn/attention temporaries and ~8 MB of
+# streamed weights, against the 100 MB vmem limit the kernel requests.
+_FUSED_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _fused_pair_chunk(K: int, cap: int) -> int:
+    """Pairs per fused-kernel launch that fit the VMEM model; 0 means the
+    fused kernel cannot run at this K (use the batched XLA matcher)."""
+    temps = 4 * (K + 8) ** 2 * 4 + 8 * 1024 * 1024
+    per_pair = 2 * K * 256 * 4
+    return int(max(0, min(cap, (_FUSED_VMEM_BUDGET - temps) // per_pair)))
 
 
 @functools.partial(jax.jit)
@@ -114,11 +142,12 @@ def _encode_frames(sg_params, d_all, k_all, s_all, hw):
 
 def _fused_all_pairs(
     sg_params, feats, sizes, pairs, chunk, sinkhorn_iterations,
-    match_threshold,
+    match_threshold, impl="pallas",
 ):
-    """Match every pair through the fused Pallas kernel in ceil(P/chunk)
-    launches (ops/superglue_kernel.py).  Returns host arrays
-    (P, K) matches0 / mscores."""
+    """Match every pair through the batched device matcher in ceil(P/chunk)
+    launches — the fused Pallas kernel (``impl="pallas"``,
+    ops/superglue_kernel.py) or the batched XLA GNN (``impl="xla"``).
+    Returns host arrays (P, K) matches0 / mscores."""
     from posediffusion_tpu.ops.superglue_kernel import stack_superglue_params
 
     k_all = jnp.stack([f[0] for f in feats])
@@ -142,7 +171,7 @@ def _fused_all_pairs(
         mm, ss = _match_chunk(
             x, v_all, jnp.asarray(sa), jnp.asarray(sb), stacks,
             sinkhorn_iterations=sinkhorn_iterations,
-            match_threshold=match_threshold,
+            match_threshold=match_threshold, impl=impl,
         )
         n_real = chunk - pad
         out_m.append(mm[:n_real])
@@ -160,7 +189,7 @@ def extract_match(
     image_info: Optional[Dict] = None,
     weights_dir: Optional[str] = None,
     weights: Optional[Tuple] = None,
-    max_keypoints: int = 1024,
+    max_keypoints: int = 4096,
     nms_radius: int = 4,
     sinkhorn_iterations: int = 50,
     match_threshold: float = 0.2,
@@ -176,9 +205,19 @@ def extract_match(
     (kp1, kp2, i12) in the cropped/rescaled pixel frame, or (None,)*3 when
     no matcher weights are available or nothing verifies.
 
+    ``max_keypoints`` defaults to 4096 per image — hloc's
+    ``superpoint_inloc`` detection config, which the reference uses
+    (match_extraction.py:91).  After detection the keypoint arrays are
+    TRIMMED to the densest frame's actual count (top-k is score-sorted), so
+    small images pay for the keypoints they have, not the cap.
+
     ``use_fused`` (default: auto — on except CPU) batches SuperGlue over
-    ``pair_chunk`` pairs per fused-kernel launch instead of ~290 XLA
-    dispatches per pair; numerics pinned in tests/test_superglue_kernel.py.
+    ``pair_chunk`` pairs per device launch instead of ~290 XLA dispatches
+    per pair.  The launch is the VMEM-resident fused Pallas kernel when the
+    trimmed K fits its VMEM model (roughly K <= 2048; chunk size adapts via
+    ``_fused_pair_chunk``), else the batched fori-loop XLA matcher whose
+    (K, K) buffers live in HBM; numerics of both are pinned in
+    tests/test_superglue_kernel.py.
     """
     if weights is not None:
         sp_params, sg_params = weights
@@ -235,16 +274,31 @@ def extract_match(
     pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
     if use_fused is None:
         use_fused = jax.devices()[0].platform not in ("cpu",)
-    # kernel constraints: >=1 pair, K a multiple of 8 and uniform across
-    # frames (tiny images can truncate top-k); otherwise the per-pair XLA
-    # path below handles it
+    # batched-matcher constraints: >=1 pair and K uniform across frames
+    # (tiny images can truncate top-k); otherwise the per-pair XLA path
+    # below handles it
     Ks = {int(f[0].shape[0]) for f in feats}
-    if not pairs or len(Ks) != 1 or next(iter(Ks)) % 8 != 0:
+    if not pairs or len(Ks) != 1:
         use_fused = False
     if use_fused:
+        # trim to the densest frame's detection count (top-k is sorted by
+        # score, so a prefix keeps the best): at the 4096 cap most frames
+        # detect far fewer, and matcher cost scales ~K^2
+        K_full = next(iter(Ks))
+        k_max = int(
+            np.asarray(jnp.max(jnp.stack([jnp.sum(f[3]) for f in feats])))
+        )
+        K_eff = min(K_full, max(128, ((max(k_max, 1) + 127) // 128) * 128))
+        if K_eff < K_full:
+            feats = [tuple(a[:K_eff] for a in f) for f in feats]
+        chunk = _fused_pair_chunk(K_eff, pair_chunk)
+        impl = "pallas" if (chunk > 0 and K_eff % 8 == 0) else "xla"
+        if impl == "xla":
+            # HBM transient model: ~4 live (C, K, K) f32 buffers <= 2 GB
+            chunk = max(1, min(pair_chunk, int(2e9 // (16 * K_eff * K_eff))))
         all_matches, _ = _fused_all_pairs(
-            sg_params, feats, sizes, pairs, pair_chunk,
-            sinkhorn_iterations, match_threshold,
+            sg_params, feats, sizes, pairs, chunk,
+            sinkhorn_iterations, match_threshold, impl=impl,
         )
     else:
         all_matches = None

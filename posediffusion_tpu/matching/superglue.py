@@ -253,6 +253,99 @@ def log_sinkhorn(scores, bin_score, mask0, mask1, iterations: int):
     return Z - norm[:, None, None]
 
 
+def match_pairs_batched_xla(
+    x, mask0, mask1, stacks,
+    sinkhorn_iterations: int = 50,
+    match_threshold: float = 0.2,
+    nhead: int = 4,
+):
+    """Batched matcher over C pairs from kenc-initialized tokens, pure XLA.
+
+    The large-K path: the fused Pallas kernel (ops/superglue_kernel.py)
+    holds per-pair (K, K) score matrices in VMEM, which stops fitting above
+    K ~ 2048; here the whole 18-layer GNN is ONE ``lax.fori_loop`` over the
+    stacked per-layer weights (so the chunk costs a handful of XLA
+    dispatches, not ~290 per pair) and the (C, K, K) buffers live in HBM.
+    Batching over C pairs keeps the K x K x D matmuls MXU-shaped.
+
+    Args:
+        x: (C, 2, K, D) kenc-initialized descriptors
+           (matching.superglue.encode_keypoints).
+        mask0/mask1: (C, K) validity for set 0 / set 1.
+        stacks: stacked folded weights (ops.superglue_kernel.
+            stack_superglue_params) — wq/bq/... (L2, D, D)/(L2, 1, D),
+            wf/bf final projection, bin dustbin score.
+    Returns (matches0 (C, K) int32 into set 1 or -1, mscores0 (C, K) f32),
+    the contract of ops.superglue_kernel.fused_match_pairs.
+    """
+    C, two, K, D = x.shape
+    Dh = D // nhead
+    scale = 1.0 / (Dh ** 0.5)
+    bias0 = jnp.where(mask0.astype(bool), 0.0, _NEG).astype(jnp.float32)
+    bias1 = jnp.where(mask1.astype(bool), 0.0, _NEG).astype(jnp.float32)
+    L2 = stacks["wq"].shape[0]
+
+    def attn_message(xq, src, key_bias, w):
+        (wq, bq, wk, bk, wv, bv, wm, bm, w1, b1, w2, b2) = w
+        q = jnp.einsum("ckd,de->cke", xq, wq) + bq
+        k = jnp.einsum("ckd,de->cke", src, wk) + bk
+        v = jnp.einsum("ckd,de->cke", src, wv) + bv
+        qh = q.reshape(C, K, nhead, Dh)
+        kh = k.reshape(C, K, nhead, Dh)
+        vh = v.reshape(C, K, nhead, Dh)
+        logits = (
+            jnp.einsum("cqhd,ckhd->chqk", qh, kh) * scale
+            + key_bias[:, None, None, :]
+        )
+        p = jax.nn.softmax(logits, axis=-1)
+        msg = jnp.einsum("chqk,ckhd->cqhd", p, vh).reshape(C, K, D)
+        msg = jnp.einsum("ckd,de->cke", msg, wm) + bm
+        cat = jnp.concatenate([xq, msg], axis=-1)
+        hmid = jnp.maximum(jnp.einsum("ckd,df->ckf", cat, w1) + b1, 0.0)
+        return jnp.einsum("ckf,fd->ckd", hmid, w2) + b2
+
+    def layer(i, x01):
+        x0, x1 = x01
+        w = tuple(
+            stacks[n][i] for n in
+            ("wq", "bq", "wk", "bk", "wv", "bv", "wm", "bm",
+             "w1", "b1", "w2", "b2")
+        )
+        sel = (i % 2 == 1).astype(jnp.float32)  # cross layers are odd
+        src0 = (1.0 - sel) * x0 + sel * x1
+        src1 = (1.0 - sel) * x1 + sel * x0
+        kb0 = (1.0 - sel) * bias0 + sel * bias1
+        kb1 = (1.0 - sel) * bias1 + sel * bias0
+        x0 = x0 + attn_message(x0, src0, kb0, w)
+        x1 = x1 + attn_message(x1, src1, kb1, w)
+        return x0, x1
+
+    x0, x1 = jax.lax.fori_loop(
+        0, L2, layer, (x[:, 0].astype(jnp.float32), x[:, 1].astype(jnp.float32))
+    )
+
+    m0 = jnp.einsum("ckd,de->cke", x0, stacks["wf"]) + stacks["bf"]
+    m1 = jnp.einsum("ckd,de->cke", x1, stacks["wf"]) + stacks["bf"]
+    scores = jnp.einsum("cnd,cmd->cnm", m0, m1) / D**0.5
+
+    mask0b = mask0.astype(bool)
+    mask1b = mask1.astype(bool)
+    Z = log_sinkhorn(
+        scores, stacks["bin"][0, 0], mask0b, mask1b, sinkhorn_iterations
+    )[:, :-1, :-1]
+
+    max0 = jnp.max(Z, axis=2)
+    idx0 = jnp.argmax(Z, axis=2)
+    idx1 = jnp.argmax(Z, axis=1)
+    mutual = (
+        jnp.take_along_axis(idx1, idx0, axis=1) == jnp.arange(K)[None]
+    )
+    mscores = jnp.exp(max0)
+    ok = mutual & (mscores > match_threshold) & mask0b
+    ok = ok & jnp.take_along_axis(mask1b, idx0, axis=1)
+    return jnp.where(ok, idx0, -1), jnp.where(ok, mscores, 0.0)
+
+
 def match_pair(
     params,
     desc0, desc1, kpts0, kpts1, scores0, scores1, mask0, mask1,

@@ -107,6 +107,45 @@ class TestFusedMatchPairs:
         # padded queries never match
         assert np.all(np.asarray(m_f[0])[11:] == -1)
 
+    def test_xla_batched_matches_reference(self, sg_setup):
+        """The large-K batched XLA matcher (fori-loop GNN over stacked
+        weights) == per-pair match_pair, full and partial masks."""
+        from posediffusion_tpu.matching.superglue import match_pairs_batched_xla
+
+        rng, params = sg_setup
+        kpts, scores, desc = _rand_sets(rng, 3)
+        hw = np.tile(HW, (3, 1))
+        x = encode_keypoints(
+            params, jnp.asarray(desc), jnp.asarray(kpts),
+            jnp.asarray(scores), hw,
+        )
+        mask = np.ones((3, K), bool)
+        mask[1, 10:] = False  # partial set on frame 1
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        xp = jnp.stack([jnp.stack([x[a], x[b]]) for a, b in pairs])
+        m0 = jnp.stack([jnp.asarray(mask[a]) for a, _ in pairs])
+        m1 = jnp.stack([jnp.asarray(mask[b]) for _, b in pairs])
+        stacks = stack_superglue_params(params)
+        m_x, s_x = match_pairs_batched_xla(
+            xp, m0, m1, stacks, sinkhorn_iterations=20, match_threshold=0.0
+        )
+        for i, (a, b) in enumerate(pairs):
+            m_ref, s_ref = self._reference(
+                params, desc, kpts, scores, mask[a], mask[b], a, b, thr=0.0
+            )
+            np.testing.assert_array_equal(np.asarray(m_x[i]), np.asarray(m_ref))
+            np.testing.assert_allclose(
+                np.asarray(s_x[i]), np.asarray(s_ref), atol=1e-4
+            )
+
+    def test_fused_pair_chunk_model(self):
+        """VMEM routing: full chunks at hloc-K, smaller at 2048, XLA at 4096."""
+        from posediffusion_tpu.matching.extract import _fused_pair_chunk
+
+        assert _fused_pair_chunk(1024, 32) == 32
+        assert 1 <= _fused_pair_chunk(2048, 32) < 32
+        assert _fused_pair_chunk(4096, 32) == 0
+
     def test_encode_matches_net_front(self, sg_setup):
         # encode_keypoints == the kenc half inside SuperGlueNet: feeding its
         # output through the kernel must agree with match_pair end-to-end

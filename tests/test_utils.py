@@ -23,6 +23,32 @@ class TestVisualize:
         assert os.path.exists(path)
         assert os.path.getsize(path) > 1000
 
+    def test_export_scene_html(self, rng, tmp_path):
+        """Interactive HTML scene: self-contained (no external refs), all
+        template slots filled, frustum JSON embedded per set."""
+        from posediffusion_tpu.utils.visualize import export_scene_html
+
+        cams = PerspectiveCameras.create(
+            R=np.stack([np.eye(3)] * 4),
+            T=rng.normal(size=(4, 3)),
+            focal_length=np.full((4, 2), 2.0),
+        )
+        path = export_scene_html(
+            {"pred": cams, "gt": cams}, str(tmp_path / "cams.html")
+        )
+        html = open(path).read()
+        assert "{scene_json}" not in html and "{{" not in html
+        assert '"name": "pred"' in html and '"name": "gt"' in html
+        assert "http://" not in html and "https://" not in html
+        # geometry: 2 sets x 4 cameras x 5 frustum points
+        import json as _json
+
+        scene = _json.loads(
+            html.split("const SCENE = ")[1].split(";\n")[0]
+        )
+        assert len(scene["sets"]) == 2
+        assert np.asarray(scene["sets"][0]["frusta"]).shape == (4, 5, 3)
+
 
 class TestProfiling:
     def test_phase_timer(self):
