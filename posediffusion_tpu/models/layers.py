@@ -160,7 +160,11 @@ class TransformerEncoderLayer(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1")(x)
+        # LayerNorm statistics pinned f32; the residual stream runs at the
+        # caller's dtype (TransformerEncoder casts once at trunk entry, so
+        # bf16 mode halves LN/residual/dropout HBM traffic)
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                         name="norm1")(x)
         h = SelfAttention(self.d_model, self.nhead, self.dropout,
                           dtype=self.dtype, name="self_attn")(
             h, mask=mask, deterministic=deterministic
@@ -168,7 +172,8 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout, name="dropout1")(h, deterministic=deterministic)
         x = x + h
 
-        h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                         name="norm2")(x)
         h = nn.Dense(self.dim_feedforward, kernel_init=default_kernel_init,
                      dtype=self.dtype, name="linear1")(h)
         h = nn.relu(h)
@@ -197,6 +202,10 @@ class TransformerEncoder(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        # one cast into the compute dtype for the whole trunk (bf16 residual
+        # stream in bfloat16 mode); outputs return at the caller's dtype
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
         for i in range(self.num_encoder_layers):
             x = TransformerEncoderLayer(
                 self.d_model,
@@ -206,4 +215,4 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, mask=mask, deterministic=deterministic)
-        return x
+        return x.astype(in_dtype)

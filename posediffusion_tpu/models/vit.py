@@ -69,16 +69,21 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, attn_bias=None) -> jnp.ndarray:
-        # residual stream + LayerNorm stay f32; matmul-heavy blocks run in
-        # self.dtype (bfloat16 option for MXU throughput)
+        # The residual stream arrives at the trunk's compute dtype (the
+        # trunk casts once after pos-embed add): in bfloat16 mode that
+        # halves the HBM traffic of every LayerNorm/residual/GELU pass,
+        # which dominates once matmuls run at the MXU's bf16 rate.
+        # LayerNorm statistics are pinned to f32 regardless (params are f32
+        # too); matmul-heavy blocks run in self.dtype.
         h = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), attn_bias
+            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x),
+            attn_bias,
         ).astype(x.dtype)
         if self.layer_scale:
             h = h * self.param("ls1_gamma", nn.initializers.ones, (self.dim,))
         x = x + h
         h = ViTMlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
-            nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+            nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         ).astype(x.dtype)
         if self.layer_scale:
             h = h * self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
@@ -190,6 +195,11 @@ class VisionTransformer(nn.Module):
                 )
             x = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
 
+        # one cast into the compute dtype for the whole trunk: the residual
+        # stream (and so every LN/residual/GELU HBM pass) runs at bf16 width
+        # in bfloat16 mode; the final norm below is pinned f32, so trunk
+        # OUTPUTS are f32 either way
+        x = x.astype(self.dtype)
         block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
             x = block_cls(
@@ -198,7 +208,7 @@ class VisionTransformer(nn.Module):
                 name=f"blocks_{i}",
             )(x, attn_bias)
 
-        norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")
         if scale_factors is None:
             return norm(x)[:, 0]
         return norm(

@@ -33,10 +33,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
-    """One (batch, head) cell: out = softmax(q k^T * scale + mask) v."""
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    """One (batch, head) cell: out = softmax(q k^T * scale + mask) v.
+
+    Mixed precision: the two matmuls take the inputs AT THEIR STORED DTYPE
+    with f32 accumulation — bf16 inputs ride the MXU's full bf16 rate
+    (casting to f32 first would quarter it) — while the softmax itself is
+    always f32."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
 
     scores = jax.lax.dot_general(
         q,
@@ -51,7 +56,9 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     probs = unnorm / denom
 
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
@@ -97,9 +104,11 @@ def _reference_attention(q, k, v, mask_bias):
 
 
 def _attention_bias_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # mixed precision as in _attention_kernel: matmuls at the stored dtype
+    # (bf16 -> full MXU rate) with f32 accumulation, softmax in f32
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -108,7 +117,7 @@ def _attention_bias_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
     unnorm = jnp.exp(scores - scores_max)
     probs = unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
     out_ref[0, 0] = jnp.dot(
-        probs, v, preferred_element_type=jnp.float32
+        probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 

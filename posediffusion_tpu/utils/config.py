@@ -141,6 +141,8 @@ def build_model_config(model_cfg: Config):
         num_encoder_layers=tr.get("num_encoder_layers", 8),
         dim_feedforward=tr.get("dim_feedforward", 1024),
         dropout=tr.get("dropout", 0.1),
+        # TPU-framework extension: bf16 denoiser trunk (train fast path)
+        denoiser_dtype=str(tr.get("compute_dtype", "float32")),
         vit_heads=vit_heads,
         # depth/scale_factors/compute_dtype are TPU-framework extensions
         vit_depth=extractor.get("depth", 12),

@@ -191,6 +191,27 @@ class TestViTParity:
         out = model.apply(params, jnp.asarray(img))
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
 
+    def test_bf16_trunk_close_to_f32(self, rng):
+        """bfloat16 mode (bf16 residual stream, f32 LayerNorm statistics,
+        f32 trunk output) tracks the f32 trunk to bf16-roundoff accuracy —
+        the accuracy contract behind the fast train path."""
+        import jax.numpy as jnp_
+
+        model32 = VisionTransformer(
+            patch_size=16, embed_dim=96, depth=3, num_heads=3, pos_grid=4
+        )
+        model16 = VisionTransformer(
+            patch_size=16, embed_dim=96, depth=3, num_heads=3, pos_grid=4,
+            dtype=jnp_.bfloat16,
+        )
+        img = jnp.asarray(rng.uniform(size=(2, 3, 64, 64)).astype(np.float32))
+        params = model32.init(jax.random.PRNGKey(0), img)
+        out32 = np.asarray(model32.apply(params, img))
+        out16 = np.asarray(model16.apply(params, img))
+        assert out16.dtype == np.float32  # final norm pins f32
+        scale = np.abs(out32).mean()
+        assert np.abs(out16 - out32).mean() < 0.03 * scale
+
     def test_pos_embed_interpolation_at_other_scales(self, rng):
         """Non-native input sizes run (fractional patch grids); outputs finite
         and scale-dependent."""
