@@ -164,11 +164,22 @@ def breakdown():
 
     R_FAST, R_SLOW = 8, 3
 
+    # route the extractor phases exactly like model.loss does (the fused
+    # Pallas train trunk on TPU, Flax elsewhere) so phases sum to the step
+    fused_train = (
+        model.config.fused_train_extractor
+        and model.config.modelname.startswith("dino_vit")
+        and jax.devices()[0].platform not in ("cpu",)
+    )
+    out["fused_train_extractor"] = bool(fused_train)
+
     # ---- phase: extractor forward
     @jax.jit
     def extract_fwd(params, images):
         def body(_, s):
-            z = model.extract_features(params, images + s * 1e-30)
+            z = model.extract_features(
+                params, images + s * 1e-30, fused_train=fused_train
+            )
             return jnp.sum(z) * 1e-30
         return jax.lax.fori_loop(0, R_FAST, body, 0.0)
 
@@ -180,7 +191,11 @@ def breakdown():
     def extract_bwd(params, images):
         def body(_, s):
             g = jax.grad(
-                lambda p: jnp.sum(model.extract_features(p, images + s * 1e-30))
+                lambda p: jnp.sum(
+                    model.extract_features(
+                        p, images + s * 1e-30, fused_train=fused_train
+                    )
+                )
             )(params)
             return sum(jnp.sum(l) for l in jax.tree.leaves(g)) * 1e-30
         return jax.lax.fori_loop(0, R_SLOW, body, 0.0)

@@ -84,47 +84,31 @@ class MultiScaleImageFeatureExtractor(nn.Module):
         return total / len(self.scale_factors)
 
 
-def extract_features_fused(
-    variables,
+def _embed_pack_scales(
+    p,
     images_nchw: jnp.ndarray,  # (B, 3, H, W) in [0, 1]
-    scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3),
-    patch_size: int = 16,
-    embed_dim: int = 384,
-    depth: int = 12,
-    num_heads: int = 6,
+    scale_factors: Sequence[float],
+    patch_size: int,
+    embed_dim: int,
     pos_grid: int = 14,
-    chunk: int = 4,
-    act_bf16: bool = False,
-) -> jnp.ndarray:
-    """Inference-path multiscale extraction with the ViT trunk as ONE Pallas
-    kernel launch for ALL scales: each image's per-scale token sequences are
-    packed into a single row (e.g. 197 + 50 + 17 = 264 tokens at 224px) and
-    a trace-time constant block-diagonal attention bias keeps the scales
-    independent.  Packing wastes zero FLOPs in the linear layers (token
-    counts add exactly) and lets the small scales ride at the large scale's
-    MXU efficiency instead of paying per-launch and small-matmul overheads
-    (~1.5x extractor speedup vs one launch per scale at 20x224px).
+):
+    """Normalize, resize to each scale, patch-embed, add CLS + interpolated
+    position embeddings, and pack all scales along the token axis.
 
-    Patch embed, position-embedding interpolation, final LN, and the
-    multiscale average stay in XLA.  Numerically pinned against the Flax
-    extractor in tests (bf16 trunk weights; exact with
-    weight_dtype=float32) — block-diagonal packed attention is exactly
-    per-scale attention.
+    Shared by the fused inference and fused training extractor paths; all
+    ops are standard XLA and differentiable w.r.t. the ViT's embed params.
+    Returns (tokens (B, sum_N, D), block-diag bias (sum_N, sum_N) np array,
+    per-scale CLS offsets).
     """
     import jax
     import numpy as np
 
     from posediffusion_tpu.ops.image import resize_bicubic_torch
-    from posediffusion_tpu.ops.vit_kernel import fused_vit_trunk, stack_vit_params
 
-    p = variables["params"]["net"]
-    stacks = stack_vit_params(p, depth)
     cls_token = p["cls_token"]
     pos_embed = p["pos_embed"]
     conv_k = p["patch_embed"]["kernel"]
     conv_b = p["patch_embed"]["bias"]
-    norm_g = p["norm"]["scale"]
-    norm_b = p["norm"]["bias"]
 
     img = imagenet_normalize(images_nchw)
     B, _, H, W = img.shape
@@ -170,17 +154,108 @@ def extract_features_fused(
     )
     bias = np.where(seg[:, None] == seg[None, :], 0.0, -1e30).astype(np.float32)
     x = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
-    x = fused_vit_trunk(
-        x, stacks, nhead=num_heads, chunk=min(chunk, B), act_bf16=act_bf16,
-        attn_bias=jnp.asarray(bias),
-    )
+    return x, bias, offsets
 
-    # per-scale final LN on each CLS token, then the multiscale average
+
+def _multiscale_cls_head(p, x, offsets):
+    """Per-scale final LN on each CLS token, then the multiscale average."""
+    import jax
+
+    norm_g = p["norm"]["scale"]
+    norm_b = p["norm"]["bias"]
     total = None
     for off in offsets[:-1]:
-        cls = x[:, int(off)]
+        cls = x[:, int(off)].astype(jnp.float32)
         mean = jnp.mean(cls, axis=-1, keepdims=True)
         var = jnp.mean((cls - mean) ** 2, axis=-1, keepdims=True)
         feat = (cls - mean) * jax.lax.rsqrt(var + 1e-6) * norm_g + norm_b
         total = feat if total is None else total + feat
-    return total / len(scale_factors)
+    return total / (len(offsets) - 1)
+
+
+def extract_features_fused(
+    variables,
+    images_nchw: jnp.ndarray,  # (B, 3, H, W) in [0, 1]
+    scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3),
+    patch_size: int = 16,
+    embed_dim: int = 384,
+    depth: int = 12,
+    num_heads: int = 6,
+    pos_grid: int = 14,
+    chunk: int = 4,
+    act_bf16: bool = False,
+) -> jnp.ndarray:
+    """Inference-path multiscale extraction with the ViT trunk as ONE Pallas
+    kernel launch for ALL scales: each image's per-scale token sequences are
+    packed into a single row (e.g. 197 + 50 + 17 = 264 tokens at 224px) and
+    a trace-time constant block-diagonal attention bias keeps the scales
+    independent.  Packing wastes zero FLOPs in the linear layers (token
+    counts add exactly) and lets the small scales ride at the large scale's
+    MXU efficiency instead of paying per-launch and small-matmul overheads
+    (~1.5x extractor speedup vs one launch per scale at 20x224px).
+
+    Patch embed, position-embedding interpolation, final LN, and the
+    multiscale average stay in XLA.  Numerically pinned against the Flax
+    extractor in tests (bf16 trunk weights; exact with
+    weight_dtype=float32) — block-diagonal packed attention is exactly
+    per-scale attention.
+    """
+    from posediffusion_tpu.ops.vit_kernel import fused_vit_trunk, stack_vit_params
+
+    p = variables["params"]["net"]
+    stacks = stack_vit_params(p, depth)
+    B = images_nchw.shape[0]
+    x, bias, offsets = _embed_pack_scales(
+        p, images_nchw, scale_factors, patch_size, embed_dim, pos_grid
+    )
+    x = fused_vit_trunk(
+        x, stacks, nhead=num_heads, chunk=min(chunk, B), act_bf16=act_bf16,
+        attn_bias=jnp.asarray(bias),
+    )
+    return _multiscale_cls_head(p, x, offsets)
+
+
+def extract_features_train(
+    variables,
+    images_nchw: jnp.ndarray,  # (B, 3, H, W) in [0, 1]
+    scale_factors: Sequence[float] = (1.0, 1.0 / 2, 1.0 / 3),
+    patch_size: int = 16,
+    embed_dim: int = 384,
+    depth: int = 12,
+    num_heads: int = 6,
+    pos_grid: int = 14,
+    act_bf16: bool = False,
+    residual_dtype: jnp.dtype = jnp.float32,
+    bchunk: int = 16,
+    mc: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """TRAIN-path multiscale extraction, differentiable end to end, with the
+    12-block ViT trunk as ONE Pallas launch forward and ONE backward
+    (ops.vit_train_kernel.fused_vit_trunk_train).
+
+    Replaces the remat-Flax extractor on the training hot path (reference
+    scale: pose_diffusion/train.py:151-253, 512 images x 3 scales): the
+    per-fusion dispatch floor made the Flax trunk fwd+bwd ~0.55 s/step where
+    the FLOP roofline is an order of magnitude lower.  Patch embed, position
+    interpolation, final LN, and the scale average stay in XLA and get their
+    gradients from standard autodiff; the trunk's custom VJP remats each
+    block from its saved input inside the backward kernel.
+
+    Gradient/primal parity with the Flax extractor is pinned in
+    tests/test_vit_train_kernel.py (exact at f32).
+    """
+    from posediffusion_tpu.ops.vit_kernel import stack_vit_params
+    from posediffusion_tpu.ops.vit_train_kernel import fused_vit_trunk_train
+
+    p = variables["params"]["net"]
+    # f32 stacks: bf16 casts happen inside the kernel so weight grads are f32
+    stacks = stack_vit_params(p, depth, weight_dtype=jnp.float32)
+    x, bias, offsets = _embed_pack_scales(
+        p, images_nchw, scale_factors, patch_size, embed_dim, pos_grid
+    )
+    x = fused_vit_trunk_train(
+        x.astype(residual_dtype), stacks, jnp.asarray(bias),
+        num_heads, bchunk, mc, act_bf16, interpret,
+    )
+    return _multiscale_cls_head(p, x, offsets)

@@ -62,6 +62,10 @@ class PoseDiffusionConfig:
     # Run the sampler's denoiser trunk as one fused Pallas kernel per step
     # (B == 1, eval mode).  Falls back to the Flax path on CPU / batched use.
     fused_sampler: bool = True
+    # TRAIN path: run the ViT trunk as one Pallas launch forward + one
+    # backward (ops/vit_train_kernel.py) instead of the remat-Flax blocks.
+    # Plain dino ViT backbones on TPU only; falls back to Flax elsewhere.
+    fused_train_extractor: bool = True
     # bf16 activations inside the fused ViT trunk on the inference path (the
     # MXU's native dtype; ~2x the f32 matmul rate).  Weights already stream
     # as bf16.  Set False for f32-exact feature extraction; feature deviation
@@ -129,16 +133,31 @@ class PoseDiffusionModel:
 
     # -------------------------------------------------------------- features
     def extract_features(
-        self, params, images: jnp.ndarray, fused: bool = False
+        self, params, images: jnp.ndarray, fused: bool = False,
+        fused_train: bool = False,
     ) -> jnp.ndarray:
         """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT.
 
         ``fused`` routes the trunk through the single-kernel Pallas path
-        (inference; plain dino ViT backbones only).
+        (inference; plain dino ViT backbones only); ``fused_train`` through
+        the differentiable train-path kernel pair (fwd + custom-VJP bwd).
         """
         B, N = images.shape[:2]
         flat = images.reshape(B * N, *images.shape[2:])
-        if fused:
+        if fused_train:
+            from posediffusion_tpu.models.feature_extractor import (
+                extract_features_train,
+            )
+
+            c = self.config
+            z = extract_features_train(
+                params["extractor"], flat,
+                scale_factors=c.scale_factors, patch_size=c.patch_size,
+                embed_dim=c.z_dim, depth=c.vit_depth, num_heads=c.vit_heads,
+                act_bf16=(c.compute_dtype == "bfloat16"),
+                residual_dtype=jnp.dtype(c.compute_dtype),
+            )
+        elif fused:
             from posediffusion_tpu.models.feature_extractor import (
                 extract_features_fused,
             )
@@ -166,7 +185,12 @@ class PoseDiffusionModel:
         train: bool = True,
     ) -> DiffusionLoss:
         """Diffusion training loss (unreduced over (B', N, 9))."""
-        z = self.extract_features(params, images)
+        fused_train = (
+            self.config.fused_train_extractor
+            and self.config.modelname.startswith("dino_vit")
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+        z = self.extract_features(params, images, fused_train=fused_train)
         if self.config.freeze_extractor:
             # reference freeze option (image_feature_extractor.py:50-52):
             # no gradients flow into the backbone

@@ -1,0 +1,428 @@
+"""Fused Pallas kernels for the ViT trunk on the TRAINING path.
+
+The inference trunk (ops/vit_kernel.py) runs all 12 blocks as one kernel but
+keeps the whole batch resident in VMEM — fine for 20-frame inference, not
+for the reference's 512-image train batches, and it has no backward.  On the
+axon relay every executed XLA fusion costs ~0.2-0.3 ms, so the remat-Flax
+train extractor (hundreds of fusions forward + backward) pays an overhead
+floor far above its FLOP roofline (measured 0.55 s of the 0.75 s train
+step; reference scale: pose_diffusion/train.py:151-253 with the DINO
+backbone of image_feature_extractor.py:42).
+
+This module replaces it with TWO kernel launches per train step:
+
+* forward: grid (batch_chunks, layers).  A batch chunk's activations stay
+  in VMEM scratch across all layers; per-layer weights stream from HBM.
+  Each block's INPUT is saved to HBM (the only residual — everything else
+  is rematerialized), so activation memory is L x B x N x D at the residual
+  dtype instead of the O(L x B x N x 4D) a no-remat backward would need.
+* backward: grid (batch_chunks, layers-reversed).  For each (chunk, layer)
+  the block is rematerialized from its saved input and differentiated with
+  an in-kernel ``jax.vjp`` over micro-chunks; the cotangent dy rides VMEM
+  scratch across layers exactly like the forward activations.  Per-weight
+  gradients are accumulated in f32 into per-batch-chunk partial outputs
+  (Mosaic output blocks must be visited contiguously, which rules out
+  cross-chunk accumulation in this grid order); one small XLA reduction
+  sums them.
+
+Weights are passed at their stored f32 and cast to bf16 *inside* the
+differentiated block function when ``act_bf16`` — matmuls ride the MXU's
+bf16 rate while weight gradients come out f32 (the cast's VJP upcasts),
+so optimizer updates lose no precision.  Numerics are pinned against the
+Flax ``VisionTransformer`` blocks in tests (exact at f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from posediffusion_tpu.ops.vit_kernel import _erf, _layer_norm
+
+_WEIGHT_KEYS = (
+    "g1", "b1", "wqkv", "bqkv", "wproj", "bproj",
+    "g2", "b2", "wfc1", "bfc1", "wfc2", "bfc2",
+)
+_NEG_INF = -1e30
+
+
+def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
+    """One pre-norm ViT block on a (mc, N, D) token chunk.
+
+    Math identical to models.vit.ViTBlock (no LayerScale): f32 LayerNorm
+    statistics, matmul operands cast to bf16 when ``act_bf16`` with f32 MXU
+    accumulation, residual adds at x.dtype.  Used by the forward kernel and
+    rematerialized + transposed by ``jax.vjp`` in the backward kernel.
+    """
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w
+    D = x.shape[-1]
+    Dh = D // nhead
+    scale = 1.0 / (Dh**0.5)
+    cast = (
+        (lambda a: a.astype(jnp.bfloat16))
+        if act_bf16
+        else (lambda a: a.astype(jnp.float32))
+    )
+
+    h = cast(_layer_norm(x.astype(jnp.float32), g1, b1))
+    qkv = (
+        jax.lax.dot_general(
+            h, cast(wqkv), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv
+    )  # (mc, N, 3D) f32
+    heads_out = []
+    for head in range(nhead):
+        q = cast(qkv[:, :, head * Dh : (head + 1) * Dh])
+        k = cast(qkv[:, :, D + head * Dh : D + (head + 1) * Dh])
+        v = cast(qkv[:, :, 2 * D + head * Dh : 2 * D + (head + 1) * Dh])
+        scores = (
+            jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + key_bias
+        )
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        heads_out.append(
+            jax.lax.dot_general(
+                cast(p), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(heads_out, axis=2)
+    attn = (
+        jax.lax.dot_general(
+            cast(attn), cast(wproj), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bproj
+    )
+    x = x + attn.astype(x.dtype)
+
+    h = cast(_layer_norm(x.astype(jnp.float32), g2, b2))
+    h = (
+        jax.lax.dot_general(
+            h, cast(wfc1), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bfc1
+    )
+    h = cast(0.5 * h * (1.0 + _erf(h * (2.0**-0.5))))
+    h = (
+        jax.lax.dot_general(
+            h, cast(wfc2), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bfc2
+    )
+    return x + h.astype(x.dtype)
+
+
+def _read_weights(refs):
+    """Layer-blocked weight refs -> value tuple (matrices (Din, Dout),
+    vectors (D,))."""
+    out = []
+    for key, ref in zip(_WEIGHT_KEYS, refs):
+        if key.startswith("w"):
+            out.append(ref[0])
+        else:
+            out.append(ref[0, 0])
+    return tuple(out)
+
+
+def _vit_train_fwd_kernel(
+    x_ref, bias_ref, *rest, nhead: int, mc: int, act_bf16: bool
+):
+    wrefs, (saved_ref, y_ref, acc_ref) = rest[:12], rest[12:]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        acc_ref[...] = x_ref[...].astype(acc_ref.dtype)
+
+    # the residual: this block's INPUT (everything else remats in backward)
+    saved_ref[0] = acc_ref[...]
+
+    weights = _read_weights(wrefs)
+    key_bias = bias_ref[...][None]
+    n_mc = acc_ref.shape[0] // mc
+
+    def step(i, carry):
+        xs = acc_ref[pl.ds(i * mc, mc)]
+        acc_ref[pl.ds(i * mc, mc)] = _block_chunk(
+            xs, weights, key_bias, nhead=nhead, act_bf16=act_bf16
+        )
+        return carry
+
+    jax.lax.fori_loop(0, n_mc, step, None)
+
+    @pl.when(l == pl.num_programs(1) - 1)
+    def _():
+        y_ref[...] = acc_ref[...]
+
+
+def _vit_train_bwd_kernel(
+    saved_ref, dy_ref, bias_ref, *rest, nhead: int, mc: int, act_bf16: bool
+):
+    wrefs = rest[:12]
+    dx_ref = rest[12]
+    grefs = rest[13:25]
+    dyacc_ref = rest[25]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        dyacc_ref[...] = dy_ref[...].astype(dyacc_ref.dtype)
+
+    weights = _read_weights(wrefs)
+    key_bias = bias_ref[...][None]
+    n_mc = dyacc_ref.shape[0] // mc
+
+    def blk(xs, *ws):
+        return _block_chunk(xs, ws, key_bias, nhead=nhead, act_bf16=act_bf16)
+
+    def step(i, carry):
+        xs = saved_ref[0, pl.ds(i * mc, mc)]
+        dys = dyacc_ref[pl.ds(i * mc, mc)]
+        _, vjp_fn = jax.vjp(blk, xs, *weights)
+        grads = vjp_fn(dys)
+        dyacc_ref[pl.ds(i * mc, mc)] = grads[0]
+        # accumulate this batch chunk's weight grads in f32; out blocks are
+        # per-(chunk, layer), initialized at the first micro-chunk (the
+        # unselected uninitialized read at i == 0 is discarded by the select)
+        for gref, g in zip(grefs, grads[1:]):
+            gf = g.astype(jnp.float32).reshape(gref.shape[2:])
+            gref[0, 0] = jnp.where(i == 0, gf, gref[0, 0] + gf)
+        return carry
+
+    jax.lax.fori_loop(0, n_mc, step, None)
+
+    @pl.when(l == pl.num_programs(1) - 1)
+    def _():
+        dx_ref[...] = dyacc_ref[...]
+
+
+def _layer_block(shape):
+    nd = len(shape)
+    return pl.BlockSpec(
+        (1,) + shape, lambda c, l: (l,) + (0,) * nd, memory_space=pltpu.VMEM
+    )
+
+
+def _layer_block_rev(shape, L):
+    nd = len(shape)
+    return pl.BlockSpec(
+        (1,) + shape,
+        lambda c, l: (L - 1 - l,) + (0,) * nd,
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _weight_specs(stacks, block_fn):
+    specs = []
+    for key in _WEIGHT_KEYS:
+        specs.append(block_fn(tuple(stacks[key].shape[1:])))
+    return specs
+
+
+def _pad_sizes(B, N, bchunk):
+    N_pad = max(((N + 7) // 8) * 8, 8)
+    B_pad = ((B + bchunk - 1) // bchunk) * bchunk
+    return B_pad, N_pad
+
+
+def _pad_bias(mask_bias, N, N_pad):
+    if mask_bias is None:
+        return jnp.broadcast_to(
+            jnp.where(jnp.arange(N_pad) < N, 0.0, _NEG_INF).astype(jnp.float32),
+            (N_pad, N_pad),
+        )
+    return jnp.pad(
+        mask_bias.astype(jnp.float32),
+        [(0, N_pad - N), (0, N_pad - N)],
+        constant_values=_NEG_INF,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nhead", "bchunk", "mc", "act_bf16", "interpret")
+)
+def _fwd_call(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
+    B, N, D = x.shape
+    L = stacks["g1"].shape[0]
+    B_pad, N_pad = _pad_sizes(B, N, bchunk)
+    rdtype = x.dtype
+    if (B_pad, N_pad) != (B, N):
+        x = jnp.pad(x, [(0, B_pad - B), (0, N_pad - N), (0, 0)])
+    bias = _pad_bias(mask_bias, N, N_pad)
+
+    kernel = functools.partial(
+        _vit_train_fwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16
+    )
+    saved, y = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, B_pad, N_pad, D), rdtype),
+            jax.ShapeDtypeStruct((B_pad, N_pad, D), rdtype),
+        ),
+        grid=(B_pad // bchunk, L),
+        in_specs=[
+            pl.BlockSpec(
+                (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + _weight_specs(stacks, _layer_block),
+        out_specs=(
+            pl.BlockSpec(
+                (1, bchunk, N_pad, D), lambda c, l: (l, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((bchunk, N_pad, D), rdtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, bias, *[stacks[k] for k in _WEIGHT_KEYS])
+    return saved, y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nhead", "bchunk", "mc", "act_bf16", "interpret")
+)
+def _bwd_call(saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpret):
+    L, B_pad, N_pad, D = saved.shape
+    rdtype = saved.dtype
+    n_bc = B_pad // bchunk
+
+    kernel = functools.partial(
+        _vit_train_bwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16
+    )
+    rev = functools.partial(_layer_block_rev, L=L)
+
+    def partial_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda c, l: (c, L - 1 - l) + (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+
+    grad_shapes = tuple(
+        jax.ShapeDtypeStruct((n_bc, L) + tuple(stacks[k].shape[1:]), jnp.float32)
+        for k in _WEIGHT_KEYS
+    )
+    dx, *gpartials = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B_pad, N_pad, D), rdtype),
+        ) + grad_shapes,
+        grid=(n_bc, L),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bchunk, N_pad, D), lambda c, l: (L - 1 - l, c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + _weight_specs(stacks, rev),
+        out_specs=(
+            pl.BlockSpec(
+                (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        + tuple(
+            partial_spec(tuple(stacks[k].shape[1:])) for k in _WEIGHT_KEYS
+        ),
+        scratch_shapes=[pltpu.VMEM((bchunk, N_pad, D), rdtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(saved, dy_pad, bias, *[stacks[k] for k in _WEIGHT_KEYS])
+    grads = {
+        k: jnp.sum(g, axis=0).astype(stacks[k].dtype)
+        for k, g in zip(_WEIGHT_KEYS, gpartials)
+    }
+    return dx, grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_vit_trunk_train(
+    x: jnp.ndarray,  # (B, N, D) tokens at the residual dtype
+    stacks: dict,  # stack_vit_params(..., weight_dtype=float32)
+    mask_bias: jnp.ndarray,  # (N, N) additive pre-softmax, no gradient
+    nhead: int = 6,
+    bchunk: int = 16,
+    mc: int = 4,
+    act_bf16: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused ViT trunk: ONE Pallas launch forward, ONE back.
+
+    Weight stacks must be f32 (``stack_vit_params(weight_dtype=float32)``);
+    bf16 matmul casts happen inside the kernel so weight grads stay f32.
+    ``mask_bias`` is structural (padding / scale packing) and receives a
+    zero gradient.
+    """
+    B, N, _ = x.shape
+    _, y = _fwd_call(
+        x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret
+    )
+    return y[:B, :N]
+
+
+def _trunk_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
+    B, N, _ = x.shape
+    saved, y = _fwd_call(
+        x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret
+    )
+    return y[:B, :N], (saved, stacks, mask_bias)
+
+
+def _trunk_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
+    saved, stacks, mask_bias = res
+    # saved.dtype == the primal x's dtype (the forward casts to x.dtype)
+    B, N = dy.shape[:2]
+    L, B_pad, N_pad, D = saved.shape
+    dy_pad = jnp.pad(
+        dy.astype(saved.dtype), [(0, B_pad - B), (0, N_pad - N), (0, 0)]
+    )
+    bias = _pad_bias(mask_bias, N, N_pad)
+    dx, grads = _bwd_call(
+        saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpret
+    )
+    return (
+        dx[:B, :N],
+        grads,
+        jnp.zeros_like(mask_bias),
+    )
+
+
+fused_vit_trunk_train.defvjp(_trunk_fwd, _trunk_bwd)

@@ -1,0 +1,219 @@
+"""Train-path fused ViT trunk: primal + gradient parity vs the Flax blocks.
+
+Runs the Pallas kernels in interpret mode so the full custom-VJP path
+(forward kernel with saved block inputs, backward kernel with in-kernel
+jax.vjp remat, partial weight-grad reduction) is exercised on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posediffusion_tpu.models.feature_extractor import (
+    MultiScaleImageFeatureExtractor,
+    extract_features_train,
+)
+from posediffusion_tpu.models.vit import ViTBlock, VisionTransformer
+from posediffusion_tpu.ops.vit_kernel import stack_vit_params
+from posediffusion_tpu.ops.vit_train_kernel import fused_vit_trunk_train
+
+
+def _zero_bias(N):
+    return jnp.zeros((N, N), jnp.float32)
+
+
+class TestFusedVitTrunkTrain:
+    def _make(self, rng, depth=2, d=64, nhead=2, B=3, N=11):
+        vit = VisionTransformer(
+            patch_size=16, embed_dim=d, depth=depth, num_heads=nhead
+        )
+        img = jnp.asarray(rng.uniform(size=(B, 3, 32, 32)).astype(np.float32))
+        params = vit.init(jax.random.PRNGKey(0), img)
+        x = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        r = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        return vit, params, x, r
+
+    def _flax_loss(self, vit, x, r):
+        """Scalar loss through the plain Flax trunk blocks, as fn(params)."""
+
+        def loss(params):
+            h = x
+            for i in range(vit.depth):
+                block = ViTBlock(vit.embed_dim, vit.num_heads)
+                h = block.apply({"params": params["params"][f"blocks_{i}"]}, h)
+            return jnp.sum(h * r)
+
+        return loss
+
+    def _fused_loss(self, vit, x, r, bchunk=2, mc=1, act_bf16=False):
+        """Same scalar loss through the fused train trunk, as fn(params)."""
+        N = x.shape[1]
+
+        def loss(params):
+            stacks = stack_vit_params(
+                params["params"], vit.depth, weight_dtype=jnp.float32
+            )
+            y = fused_vit_trunk_train(
+                x, stacks, _zero_bias(N),
+                vit.num_heads, bchunk, mc, act_bf16, True,
+            )
+            return jnp.sum(y * r)
+
+        return loss
+
+    def test_f32_primal_matches_flax(self, rng):
+        vit, params, x, r = self._make(rng)
+        ref = self._flax_loss(vit, x, r)(params)
+        out = self._fused_loss(vit, x, r)(params)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+    def test_f32_grads_match_flax(self, rng):
+        # the load-bearing check: custom-VJP weight + input grads == autodiff
+        # through the Flax blocks (same params pytree on both sides)
+        vit, params, x, r = self._make(rng)
+        ref_g = jax.grad(self._flax_loss(vit, x, r))(params)
+        fused_g = jax.grad(self._fused_loss(vit, x, r))(params)
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+        flat_fused = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(fused_g)
+        )
+        assert flat_ref, "empty grad tree"
+        for k, v in flat_ref:
+            key = jax.tree_util.keystr(k)
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(flat_fused[key]), np.asarray(v),
+                atol=2e-5 * scale, err_msg=key,
+            )
+
+    def test_f32_input_grad_matches_flax(self, rng):
+        vit, params, x, r = self._make(rng)
+
+        def ref_loss(xx):
+            h = xx
+            for i in range(vit.depth):
+                block = ViTBlock(vit.embed_dim, vit.num_heads)
+                h = block.apply({"params": params["params"][f"blocks_{i}"]}, h)
+            return jnp.sum(h * r)
+
+        stacks = stack_vit_params(
+            params["params"], vit.depth, weight_dtype=jnp.float32
+        )
+
+        def fused_loss(xx):
+            y = fused_vit_trunk_train(
+                xx, stacks, _zero_bias(x.shape[1]),
+                vit.num_heads, 2, 1, False, True,
+            )
+            return jnp.sum(y * r)
+
+        ref_dx = jax.grad(ref_loss)(x)
+        fused_dx = jax.grad(fused_loss)(x)
+        np.testing.assert_allclose(
+            np.asarray(fused_dx), np.asarray(ref_dx), atol=2e-5
+        )
+
+    def test_batch_padding_grads_inert(self, rng):
+        # B=3 with bchunk=2 pads to 4: padded rows must contribute NOTHING
+        # to weight grads (their dy is zero), so grads match a bchunk=1 run
+        vit, params, x, r = self._make(rng, B=3)
+        g_pad = jax.grad(self._fused_loss(vit, x, r, bchunk=2, mc=1))(params)
+        g_exact = jax.grad(self._fused_loss(vit, x, r, bchunk=1, mc=1))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            g_pad, g_exact,
+        )
+
+    def test_bf16_grads_close(self, rng):
+        # bf16 matmul casts inside the kernel: grads stay f32 and must agree
+        # with bf16-cast Flax autodiff to bf16-rounding tolerance
+        vit, params, x, r = self._make(rng)
+        ref_g = jax.grad(self._flax_loss(vit, x, r))(params)
+        fused_g = jax.grad(self._fused_loss(vit, x, r, act_bf16=True))(params)
+        for (k, v), (_, w) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(fused_g),
+        ):
+            assert w.dtype == v.dtype, jax.tree_util.keystr(k)
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(v), atol=0.05 * scale,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_extractor_train_path_matches_flax_extractor(self, rng):
+        # end-to-end: patch embed + pos + packed trunk + CLS head, value AND
+        # grads w.r.t. the full extractor variables
+        ext = MultiScaleImageFeatureExtractor(
+            scale_factors=(1.0, 0.5), patch_size=16, embed_dim=64,
+            depth=2, num_heads=2,
+        )
+        img = jnp.asarray(rng.uniform(size=(3, 3, 64, 64)).astype(np.float32))
+        variables = ext.init(jax.random.PRNGKey(1), img)
+        r = jnp.asarray(rng.normal(size=(3, 64)).astype(np.float32))
+
+        def ref_loss(v):
+            return jnp.sum(ext.apply(v, img) * r)
+
+        def fused_loss(v):
+            z = extract_features_train(
+                v, img, scale_factors=(1.0, 0.5), patch_size=16,
+                embed_dim=64, depth=2, num_heads=2,
+                bchunk=2, mc=1, interpret=True,
+            )
+            return jnp.sum(z * r)
+
+        ref_val, ref_g = jax.value_and_grad(ref_loss)(variables)
+        fused_val, fused_g = jax.value_and_grad(fused_loss)(variables)
+        np.testing.assert_allclose(float(fused_val), float(ref_val), rtol=1e-4)
+        for (k, v), (_, w) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(fused_g),
+        ):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(v), atol=5e-5 * scale,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_block_diag_bias_segments_independent(self, rng):
+        # scale-packing contract: grads under a block-diagonal bias equal
+        # grads of per-segment runs
+        vit, params, x, r = self._make(rng, N=8)
+        n1 = 5
+        seg = np.concatenate([np.zeros(n1), np.ones(x.shape[1] - n1)])
+        bias = jnp.asarray(
+            np.where(seg[:, None] == seg[None, :], 0.0, -1e30).astype(np.float32)
+        )
+        stacks = stack_vit_params(
+            params["params"], vit.depth, weight_dtype=jnp.float32
+        )
+
+        def packed(xx):
+            y = fused_vit_trunk_train(
+                xx, stacks, bias, vit.num_heads, 2, 1, False, True
+            )
+            return jnp.sum(y * r)
+
+        def split(xx):
+            ya = fused_vit_trunk_train(
+                xx[:, :n1], stacks, _zero_bias(n1),
+                vit.num_heads, 2, 1, False, True,
+            )
+            yb = fused_vit_trunk_train(
+                xx[:, n1:], stacks, _zero_bias(x.shape[1] - n1),
+                vit.num_heads, 2, 1, False, True,
+            )
+            return jnp.sum(ya * r[:, :n1]) + jnp.sum(yb * r[:, n1:])
+
+        np.testing.assert_allclose(
+            float(packed(x)), float(split(x)), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(packed)(x)), np.asarray(jax.grad(split)(x)),
+            atol=2e-5,
+        )
