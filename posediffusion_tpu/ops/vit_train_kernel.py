@@ -59,6 +59,7 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
     rematerialized + transposed by ``jax.vjp`` in the backward kernel.
     """
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w
+    mcN = x.shape[0] * x.shape[1]
     D = x.shape[-1]
     Dh = D // nhead
     scale = 1.0 / (Dh**0.5)
@@ -68,14 +69,22 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
         else (lambda a: a.astype(jnp.float32))
     )
 
-    h = cast(_layer_norm(x.astype(jnp.float32), g1, b1))
-    qkv = (
-        jax.lax.dot_general(
-            h, cast(wqkv), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    # Linear layers run on a flattened (mc*N, D) view: their VJP transposes
+    # are then plain single-contracting-dim matmuls, which is all Mosaic's
+    # tpu.matmul supports (a 3D x^T dy weight-grad contraction over (mc, N)
+    # fails to lower).  Attention stays batched over mc (batch dims are
+    # fine; only multi-dim contractions are not).
+    def linear(h2d, w2d, b1d):
+        return (
+            jax.lax.dot_general(
+                cast(h2d), cast(w2d), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1d
         )
-        + bqkv
-    )  # (mc, N, 3D) f32
+
+    h = _layer_norm(x.astype(jnp.float32), g1, b1)
+    qkv = linear(h.reshape(mcN, D), wqkv, bqkv).reshape(*x.shape[:2], 3 * D)
     heads_out = []
     for head in range(nhead):
         q = cast(qkv[:, :, head * Dh : (head + 1) * Dh])
@@ -99,31 +108,13 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
             )
         )
     attn = jnp.concatenate(heads_out, axis=2)
-    attn = (
-        jax.lax.dot_general(
-            cast(attn), cast(wproj), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bproj
-    )
+    attn = linear(attn.reshape(mcN, D), wproj, bproj).reshape(x.shape)
     x = x + attn.astype(x.dtype)
 
-    h = cast(_layer_norm(x.astype(jnp.float32), g2, b2))
-    h = (
-        jax.lax.dot_general(
-            h, cast(wfc1), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bfc1
-    )
-    h = cast(0.5 * h * (1.0 + _erf(h * (2.0**-0.5))))
-    h = (
-        jax.lax.dot_general(
-            h, cast(wfc2), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + bfc2
-    )
+    h = _layer_norm(x.astype(jnp.float32), g2, b2)
+    h = linear(h.reshape(mcN, D), wfc1, bfc1)
+    h = 0.5 * h * (1.0 + _erf(h * (2.0**-0.5)))
+    h = linear(h, wfc2, bfc2).reshape(x.shape)
     return x + h.astype(x.dtype)
 
 
