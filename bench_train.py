@@ -170,6 +170,7 @@ def breakdown():
         model.config.fused_train_extractor
         and model.config.modelname.startswith("dino_vit")
         and jax.devices()[0].platform not in ("cpu",)
+        and jax.device_count() == 1  # mirror models/pose_diffusion.py:loss
     )
     out["fused_train_extractor"] = bool(fused_train)
 

@@ -64,7 +64,10 @@ class PoseDiffusionConfig:
     fused_sampler: bool = True
     # TRAIN path: run the ViT trunk as one Pallas launch forward + one
     # backward (ops/vit_train_kernel.py) instead of the remat-Flax blocks.
-    # Plain dino ViT backbones on TPU only; falls back to Flax elsewhere.
+    # Engages for plain dino ViT backbones on a SINGLE TPU device; on
+    # multi-device meshes the Flax trunk is used instead because GSPMD
+    # cannot partition a pallas_call across the dp axis (a shard_map
+    # wrapping would need per-leaf FSDP gather specs — future work).
     fused_train_extractor: bool = True
     # bf16 activations inside the fused ViT trunk on the inference path (the
     # MXU's native dtype; ~2x the f32 matmul rate).  Weights already stream
@@ -183,10 +186,21 @@ class PoseDiffusionModel:
         batch_repeat: int = 0,
         mask: Optional[jnp.ndarray] = None,  # (B, N) frame validity
         train: bool = True,
+        fused_train: Optional[bool] = None,
     ) -> DiffusionLoss:
-        """Diffusion training loss (unreduced over (B', N, 9))."""
+        """Diffusion training loss (unreduced over (B', N, 9)).
+
+        ``fused_train``: None auto-gates the Pallas train-trunk (TPU, plain
+        dino ViT, single device — GSPMD can't shard a pallas_call).  An
+        explicit True/False overrides the device-count part of the gate:
+        the shard_map DP step passes True because inside shard_map each
+        shard runs the kernel on its own chip.
+        """
+        if fused_train is None:
+            fused_train = jax.device_count() == 1
         fused_train = (
-            self.config.fused_train_extractor
+            fused_train
+            and self.config.fused_train_extractor
             and self.config.modelname.startswith("dino_vit")
             and jax.devices()[0].platform not in ("cpu",)
         )

@@ -14,6 +14,7 @@ from posediffusion_tpu.training.step import (
     TrainState,
     jit_train_step,
     make_eval_step,
+    make_sharded_train_step,
     make_train_step,
     pose_metrics,
 )

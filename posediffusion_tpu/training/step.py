@@ -123,6 +123,107 @@ def make_train_step(
     return train_step
 
 
+def make_sharded_train_step(
+    model: PoseDiffusionModel,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    batch_repeat: int = 0,
+    compute_metrics: bool = True,
+    fused_train: Optional[bool] = None,
+):
+    """Pure-DP train step as an explicit ``shard_map`` SPMD program.
+
+    Same semantics as make_train_step under GSPMD batch sharding (reference
+    DDP: pose_diffusion/train.py:81,247 — per-rank forward/backward + NCCL
+    grad all-reduce), but written as per-shard code: each device computes
+    loss and grads on its batch shard, grads ``psum`` over the mesh's "dp"
+    axis (ICI), and the optimizer update runs replicated.  The point of the
+    explicit form: Pallas kernels (the fused ViT train trunk) execute
+    per-shard inside shard_map, whereas GSPMD cannot partition a
+    pallas_call — so this is the path that scales the fused kernels across
+    chips.  ``fused_train=None`` enables the kernel on TPU (each shard is a
+    single chip from the kernel's perspective).
+
+    Parameters and optimizer state must be replicated (pure DP — use the
+    GSPMD step for FSDP).  Loss normalization matches make_train_step
+    exactly: global masked denominator via psum.  Metrics are computed
+    outside the shard_map on the (sharded) x_0 predictions, identically to
+    the GSPMD step.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh.shape.get("fsdp", 1) != 1:
+        raise ValueError(
+            "make_sharded_train_step is pure-DP; use the GSPMD step for FSDP"
+        )
+    if fused_train is None:
+        fused_train = jax.devices()[0].platform not in ("cpu",)
+
+    def shard_body(state: TrainState, batch, key):
+        images = batch["images"]
+        gt_enc = batch["pose_encodings"]
+        mask = batch.get("mask")
+        # distinct t/noise/dropout draws per shard (the GSPMD step draws
+        # them for the global batch)
+        key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+
+        def loss_fn(params):
+            out = model.loss(
+                params, images, gt_enc, key,
+                batch_repeat=batch_repeat, mask=mask, train=True,
+                fused_train=fused_train,
+            )
+            num = jax.lax.psum(jnp.sum(out.loss), "dp")
+            if mask is not None:
+                rep_mask = (
+                    jnp.tile(mask, (batch_repeat, 1)) if batch_repeat > 0 else mask
+                )
+                den = jnp.maximum(
+                    jax.lax.psum(jnp.sum(rep_mask), "dp"), 1
+                ) * gt_enc.shape[-1]
+            else:
+                den = jax.lax.psum(
+                    jnp.asarray(out.loss.size, jnp.float32), "dp"
+                )
+            return num / den, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # the per-shard grad is already d(global loss)/d(params) restricted
+        # to this shard's terms; summing over shards gives the full gradient
+        grads = jax.lax.psum(grads, "dp")
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, loss, out.x_0_pred[: gt_enc.shape[0]]
+
+    def train_step(state: TrainState, batch, key):
+        batch_specs = jax.tree.map(lambda _: P("dp"), batch)
+        new_state, loss, x0 = shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P(), P("dp")),
+            check_rep=False,
+        )(state, batch, key)
+        metrics = {"loss": loss}
+        if compute_metrics:
+            metrics.update(
+                pose_metrics(
+                    x0, batch["pose_encodings"], mask=batch.get("mask")
+                )
+            )
+        return new_state, metrics
+
+    return train_step
+
+
 def make_eval_step(model: PoseDiffusionModel):
     """Sampling-based eval step (reference eval branch, train.py:216-222)."""
 

@@ -184,7 +184,24 @@ def main():
                 state = restore(path, state)
                 print(f"Resumed full state from {path}")
 
-    train_step = jit_train_step(make_train_step(model, optimizer, batch_repeat=t.batch_repeat))
+    # Pure-DP meshes use the explicit shard_map step so Pallas kernels (the
+    # fused ViT train trunk) run per-shard — GSPMD cannot partition a
+    # pallas_call.  FSDP keeps the GSPMD step (sharded params need GSPMD's
+    # automatic all-gathers).
+    if mesh.shape.get("fsdp", 1) == 1 and dict(mesh.shape).get("dp", 1) > 1:
+        from posediffusion_tpu.training import make_sharded_train_step
+
+        train_step = jax.jit(
+            make_sharded_train_step(
+                model, optimizer, mesh, batch_repeat=t.batch_repeat
+            ),
+            donate_argnums=(0,),
+        )
+        print("train step: shard_map DP (fused kernels per shard)")
+    else:
+        train_step = jit_train_step(
+            make_train_step(model, optimizer, batch_repeat=t.batch_repeat)
+        )
 
     from posediffusion_tpu.training import make_eval_step
 
