@@ -219,11 +219,32 @@ def breakdown():
             z = jnp.tile(z0 + s * 1e-30, (BATCH_REPEAT, 1, 1))
 
             def loss_fn(p):
-                def model_fn(x, tt):
-                    return model.denoiser.apply(
-                        p["denoiser"], x, tt, z, deterministic=False,
-                        rngs={"dropout": kd},
+                if fused_train:
+                    from posediffusion_tpu.models.denoiser import (
+                        denoiser_train_apply,
                     )
+
+                    c = model.config
+                    seed = jax.random.randint(
+                        kd, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+                    )
+
+                    def model_fn(x, tt):
+                        return denoiser_train_apply(
+                            p["denoiser"], x, tt, z, seed=seed,
+                            nhead=c.nhead,
+                            num_encoder_layers=c.num_encoder_layers,
+                            pivot_cam_onehot=c.pivot_cam_onehot,
+                            dropout_rate=c.dropout,
+                            act_bf16=(c.denoiser_dtype == "bfloat16"),
+                            residual_dtype=jnp.dtype(c.denoiser_dtype),
+                        )
+                else:
+                    def model_fn(x, tt):
+                        return model.denoiser.apply(
+                            p["denoiser"], x, tt, z, deterministic=False,
+                            rngs={"dropout": kd},
+                        )
                 o = p_losses(model.schedule, model_fn, enc_rep, t, noise)
                 return jnp.mean(o.loss)
 

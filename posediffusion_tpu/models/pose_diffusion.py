@@ -66,9 +66,15 @@ class PoseDiffusionConfig:
     # backward (ops/vit_train_kernel.py) instead of the remat-Flax blocks.
     # Engages for plain dino ViT backbones on a SINGLE TPU device; on
     # multi-device meshes the Flax trunk is used instead because GSPMD
-    # cannot partition a pallas_call across the dp axis (a shard_map
-    # wrapping would need per-leaf FSDP gather specs — future work).
+    # cannot partition a pallas_call across the dp axis — unless the step
+    # itself is a shard_map (training.make_sharded_train_step), which
+    # passes fused_train=True so the kernel runs per shard.
     fused_train_extractor: bool = True
+    # Same for the denoiser trunk in the training loss (the 8-layer encoder
+    # over the batch_repeat-inflated diffusion batch): one Pallas launch
+    # forward + one backward, with in-kernel PRNG dropout at the torch
+    # sites.  Falls back to the Flax trunk off-TPU / multi-device GSPMD.
+    fused_train_denoiser: bool = True
     # bf16 activations inside the fused ViT trunk on the inference path (the
     # MXU's native dtype; ~2x the f32 matmul rate).  Weights already stream
     # as bf16.  Set False for f32-exact feature extraction; feature deviation
@@ -198,13 +204,14 @@ class PoseDiffusionModel:
         """
         if fused_train is None:
             fused_train = jax.device_count() == 1
-        fused_train = (
-            fused_train
+        fused_ok = fused_train and jax.devices()[0].platform not in ("cpu",)
+        fused_extract = (
+            fused_ok
             and self.config.fused_train_extractor
             and self.config.modelname.startswith("dino_vit")
-            and jax.devices()[0].platform not in ("cpu",)
         )
-        z = self.extract_features(params, images, fused_train=fused_train)
+        fused_denoiser = fused_ok and self.config.fused_train_denoiser
+        z = self.extract_features(params, images, fused_train=fused_extract)
         if self.config.freeze_extractor:
             # reference freeze option (image_feature_extractor.py:50-52):
             # no gradients flow into the backbone
@@ -221,14 +228,35 @@ class PoseDiffusionModel:
         t = jax.random.randint(key_t, (B,), 0, self.schedule.num_timesteps)
         noise = jax.random.normal(key_noise, pose_encodings.shape)
 
-        def model_fn(x, tt):
-            variables = params["denoiser"]
-            if train:
-                return self.denoiser.apply(
-                    variables, x, tt, z, mask=mask, deterministic=False,
-                    rngs={"dropout": key_drop},
+        if fused_denoiser:
+            from posediffusion_tpu.models.denoiser import denoiser_train_apply
+
+            c = self.config
+            drop_seed = jax.random.randint(
+                key_drop, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+
+            def model_fn(x, tt):
+                return denoiser_train_apply(
+                    params["denoiser"], x, tt, z, mask=mask, seed=drop_seed,
+                    nhead=c.nhead,
+                    num_encoder_layers=c.num_encoder_layers,
+                    pivot_cam_onehot=c.pivot_cam_onehot,
+                    dropout_rate=c.dropout if train else 0.0,
+                    act_bf16=(c.denoiser_dtype == "bfloat16"),
+                    residual_dtype=jnp.dtype(c.denoiser_dtype),
                 )
-            return self.denoiser.apply(variables, x, tt, z, mask=mask)
+
+        else:
+
+            def model_fn(x, tt):
+                variables = params["denoiser"]
+                if train:
+                    return self.denoiser.apply(
+                        variables, x, tt, z, mask=mask, deterministic=False,
+                        rngs={"dropout": key_drop},
+                    )
+                return self.denoiser.apply(variables, x, tt, z, mask=mask)
 
         out = p_losses(
             self.schedule,

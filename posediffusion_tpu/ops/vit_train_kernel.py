@@ -1,15 +1,15 @@
-"""Fused Pallas kernels for the ViT trunk on the TRAINING path.
+"""Fused Pallas kernels for pre-norm transformer trunks on the TRAINING path.
 
-The inference trunk (ops/vit_kernel.py) runs all 12 blocks as one kernel but
-keeps the whole batch resident in VMEM — fine for 20-frame inference, not
-for the reference's 512-image train batches, and it has no backward.  On the
-axon relay every executed XLA fusion costs ~0.2-0.3 ms, so the remat-Flax
-train extractor (hundreds of fusions forward + backward) pays an overhead
-floor far above its FLOP roofline (measured 0.55 s of the 0.75 s train
-step; reference scale: pose_diffusion/train.py:151-253 with the DINO
-backbone of image_feature_extractor.py:42).
+The inference trunks (ops/vit_kernel.py, ops/denoiser_kernel.py) run all
+layers as one kernel but keep the whole batch resident in VMEM — fine for
+20-frame inference, not for the reference's 512-image train batches, and
+they have no backward.  On the axon relay every executed XLA fusion costs
+~0.2-0.3 ms, so the remat-Flax train path (hundreds of fusions forward +
+backward) pays an overhead floor far above its FLOP roofline (measured
+0.55 s extractor + 0.13 s denoiser of the 0.75 s train step; reference
+scale: pose_diffusion/train.py:151-253).
 
-This module replaces it with TWO kernel launches per train step:
+This module replaces it with TWO kernel launches per trunk per step:
 
 * forward: grid (batch_chunks, layers).  A batch chunk's activations stay
   in VMEM scratch across all layers; per-layer weights stream from HBM.
@@ -25,11 +25,24 @@ This module replaces it with TWO kernel launches per train step:
   cross-chunk accumulation in this grid order); one small XLA reduction
   sums them.
 
+Two trunk flavors share the implementation (both are pre-norm torch-style
+blocks with packed QKV — models/vit.py ViTBlock and models/layers.py
+TransformerEncoderLayer):
+
+* ``fused_vit_trunk_train``: GELU, LN eps 1e-6, shared (N, N) attention
+  bias (scale packing), no dropout — the DINO backbone.
+* ``fused_encoder_trunk_train``: ReLU, LN eps 1e-5, per-row (B, N) key
+  bias, torch-style dropout at four sites per layer — the denoiser trunk.
+  Dropout masks are generated IN-KERNEL from the TPU PRNG seeded by
+  (seed, layer, chunk, micro-chunk), so the backward remat reproduces the
+  exact forward masks without storing them.  (No interpret-mode support:
+  Pallas has no CPU lowering for prng_seed — CPU tests pin dropout=0.)
+
 Weights are passed at their stored f32 and cast to bf16 *inside* the
 differentiated block function when ``act_bf16`` — matmuls ride the MXU's
 bf16 rate while weight gradients come out f32 (the cast's VJP upcasts),
 so optimizer updates lose no precision.  Numerics are pinned against the
-Flax ``VisionTransformer`` blocks in tests (exact at f32).
+Flax blocks in tests (exact at f32).
 """
 
 from __future__ import annotations
@@ -38,6 +51,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,13 +64,39 @@ _WEIGHT_KEYS = (
 _NEG_INF = -1e30
 
 
-def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
-    """One pre-norm ViT block on a (mc, N, D) token chunk.
+def _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, rate):
+    """Inverted-dropout multiplier masks for one micro-chunk, deterministic
+    in (seed, layer, batch-chunk, micro-chunk) so forward and backward
+    generate bit-identical masks.  Pre-scaled by 1/keep."""
+    pltpu.prng_seed(seed_ref[0], l, c, i)
+    inv_keep = 1.0 / (1.0 - rate)
 
-    Math identical to models.vit.ViTBlock (no LayerScale): f32 LayerNorm
-    statistics, matmul operands cast to bf16 when ``act_bf16`` with f32 MXU
-    accumulation, residual adds at x.dtype.  Used by the forward kernel and
-    rematerialized + transposed by ``jax.vjp`` in the backward kernel.
+    def draw(shape):
+        bits = pltpu.prng_random_bits(shape)
+        # low 23 bits -> uniform [0, 1) (sign-safe regardless of bit dtype)
+        u = (bits & 0x7FFFFF).astype(jnp.float32) * (1.0 / (1 << 23))
+        return (u >= rate).astype(jnp.float32) * inv_keep
+
+    attn = draw((nhead, mc, N, N))
+    m1 = draw((mc, N, D))
+    mff = draw((mc, N, F))
+    m2 = draw((mc, N, D))
+    return attn, m1, mff, m2
+
+
+def _block_chunk(
+    x, w, key_bias, *, nhead: int, act_bf16: bool, eps: float,
+    activation: str, drop_masks=None,
+):
+    """One pre-norm transformer block on a (mc, N, D) token chunk.
+
+    Math identical to models.vit.ViTBlock (gelu, no dropout) or
+    models.layers.TransformerEncoderLayer (relu, 4 dropout sites): f32
+    LayerNorm statistics, matmul operands cast to bf16 when ``act_bf16``
+    with f32 MXU accumulation, residual adds at x.dtype.  Used by the
+    forward kernel and rematerialized + transposed by ``jax.vjp`` in the
+    backward kernel.  ``key_bias`` broadcasts against (mc, N, N) scores —
+    (1, N, N) for shared bias, (mc, 1, N) for per-row key masks.
     """
     (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w
     mcN = x.shape[0] * x.shape[1]
@@ -83,7 +123,7 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
             + b1d
         )
 
-    h = _layer_norm(x.astype(jnp.float32), g1, b1)
+    h = _layer_norm(x.astype(jnp.float32), g1, b1, eps=eps)
     qkv = linear(h.reshape(mcN, D), wqkv, bqkv).reshape(*x.shape[:2], 3 * D)
     heads_out = []
     for head in range(nhead):
@@ -101,6 +141,8 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if drop_masks is not None:
+            p = p * drop_masks[0][head]
         heads_out.append(
             jax.lax.dot_general(
                 cast(p), v, (((2,), (1,)), ((0,), (0,))),
@@ -109,12 +151,21 @@ def _block_chunk(x, w, key_bias, *, nhead: int, act_bf16: bool):
         )
     attn = jnp.concatenate(heads_out, axis=2)
     attn = linear(attn.reshape(mcN, D), wproj, bproj).reshape(x.shape)
+    if drop_masks is not None:
+        attn = attn * drop_masks[1]
     x = x + attn.astype(x.dtype)
 
-    h = _layer_norm(x.astype(jnp.float32), g2, b2)
+    h = _layer_norm(x.astype(jnp.float32), g2, b2, eps=eps)
     h = linear(h.reshape(mcN, D), wfc1, bfc1)
-    h = 0.5 * h * (1.0 + _erf(h * (2.0**-0.5)))
+    if activation == "gelu":
+        h = 0.5 * h * (1.0 + _erf(h * (2.0**-0.5)))
+    else:  # relu (torch TransformerEncoderLayer default)
+        h = jnp.maximum(h, 0.0)
+    if drop_masks is not None:
+        h = h * drop_masks[2].reshape(mcN, -1)
     h = linear(h, wfc2, bfc2).reshape(x.shape)
+    if drop_masks is not None:
+        h = h * drop_masks[3]
     return x + h.astype(x.dtype)
 
 
@@ -130,10 +181,13 @@ def _read_weights(refs):
     return tuple(out)
 
 
-def _vit_train_fwd_kernel(
-    x_ref, bias_ref, *rest, nhead: int, mc: int, act_bf16: bool
+def _trunk_fwd_kernel(
+    x_ref, bias_ref, seed_ref, *rest,
+    nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
+    dropout_rate: float, bias_rows: bool,
 ):
     wrefs, (saved_ref, y_ref, acc_ref) = rest[:12], rest[12:]
+    c = pl.program_id(0)
     l = pl.program_id(1)
 
     @pl.when(l == 0)
@@ -144,13 +198,26 @@ def _vit_train_fwd_kernel(
     saved_ref[0] = acc_ref[...]
 
     weights = _read_weights(wrefs)
-    key_bias = bias_ref[...][None]
+    if not bias_rows:
+        shared_bias = bias_ref[...][None]
     n_mc = acc_ref.shape[0] // mc
+    N = acc_ref.shape[1]
+    D = acc_ref.shape[2]
+    F = wrefs[10].shape[1]  # wfc1 (1, D, F)
 
     def step(i, carry):
         xs = acc_ref[pl.ds(i * mc, mc)]
+        kb = (
+            bias_ref[pl.ds(i * mc, mc)][:, None, :] if bias_rows
+            else shared_bias
+        )
+        masks = (
+            _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, dropout_rate)
+            if dropout_rate > 0.0 else None
+        )
         acc_ref[pl.ds(i * mc, mc)] = _block_chunk(
-            xs, weights, key_bias, nhead=nhead, act_bf16=act_bf16
+            xs, weights, kb, nhead=nhead, act_bf16=act_bf16, eps=eps,
+            activation=activation, drop_masks=masks,
         )
         return carry
 
@@ -161,29 +228,50 @@ def _vit_train_fwd_kernel(
         y_ref[...] = acc_ref[...]
 
 
-def _vit_train_bwd_kernel(
-    saved_ref, dy_ref, bias_ref, *rest, nhead: int, mc: int, act_bf16: bool
+def _trunk_bwd_kernel(
+    saved_ref, dy_ref, bias_ref, seed_ref, *rest,
+    nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
+    dropout_rate: float, bias_rows: bool, L: int,
 ):
     wrefs = rest[:12]
-    dx_ref = rest[12]
     grefs = rest[13:25]
+    dx_ref = rest[12]
     dyacc_ref = rest[25]
-    l = pl.program_id(1)
+    c = pl.program_id(0)
+    l_rev = pl.program_id(1)
+    l = L - 1 - l_rev  # actual layer index (for the dropout PRNG seed)
 
-    @pl.when(l == 0)
+    @pl.when(l_rev == 0)
     def _():
         dyacc_ref[...] = dy_ref[...].astype(dyacc_ref.dtype)
 
     weights = _read_weights(wrefs)
-    key_bias = bias_ref[...][None]
+    if not bias_rows:
+        shared_bias = bias_ref[...][None]
     n_mc = dyacc_ref.shape[0] // mc
-
-    def blk(xs, *ws):
-        return _block_chunk(xs, ws, key_bias, nhead=nhead, act_bf16=act_bf16)
+    N = dyacc_ref.shape[1]
+    D = dyacc_ref.shape[2]
+    F = wrefs[10].shape[1]
 
     def step(i, carry):
         xs = saved_ref[0, pl.ds(i * mc, mc)]
         dys = dyacc_ref[pl.ds(i * mc, mc)]
+        kb = (
+            bias_ref[pl.ds(i * mc, mc)][:, None, :] if bias_rows
+            else shared_bias
+        )
+        # regenerate the forward's dropout masks bit-identically
+        masks = (
+            _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, dropout_rate)
+            if dropout_rate > 0.0 else None
+        )
+
+        def blk(xx, *ws):
+            return _block_chunk(
+                xx, ws, kb, nhead=nhead, act_bf16=act_bf16, eps=eps,
+                activation=activation, drop_masks=masks,
+            )
+
         _, vjp_fn = jax.vjp(blk, xs, *weights)
         grads = vjp_fn(dys)
         dyacc_ref[pl.ds(i * mc, mc)] = grads[0]
@@ -197,7 +285,7 @@ def _vit_train_bwd_kernel(
 
     jax.lax.fori_loop(0, n_mc, step, None)
 
-    @pl.when(l == pl.num_programs(1) - 1)
+    @pl.when(l_rev == pl.num_programs(1) - 1)
     def _():
         dx_ref[...] = dyacc_ref[...]
 
@@ -231,11 +319,18 @@ def _pad_sizes(B, N, bchunk):
     return B_pad, N_pad
 
 
-def _pad_bias(mask_bias, N, N_pad):
+def _pad_bias(mask_bias, N, N_pad, B=None, B_pad=None):
+    """Pad the additive bias: shared (N, N) or per-row (B, N)."""
     if mask_bias is None:
         return jnp.broadcast_to(
             jnp.where(jnp.arange(N_pad) < N, 0.0, _NEG_INF).astype(jnp.float32),
             (N_pad, N_pad),
+        )
+    if mask_bias.ndim == 2 and B is not None:  # per-row (B, N)
+        return jnp.pad(
+            mask_bias.astype(jnp.float32),
+            [(0, B_pad - B), (0, N_pad - N)],
+            constant_values=_NEG_INF,
         )
     return jnp.pad(
         mask_bias.astype(jnp.float32),
@@ -244,20 +339,35 @@ def _pad_bias(mask_bias, N, N_pad):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nhead", "bchunk", "mc", "act_bf16", "interpret")
+_STATIC_NAMES = (
+    "nhead", "bchunk", "mc", "act_bf16", "interpret", "eps", "activation",
+    "dropout_rate", "bias_rows",
 )
-def _fwd_call(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _fwd_call(
+    x, stacks, bias, seed, nhead, bchunk, mc, act_bf16, interpret,
+    eps, activation, dropout_rate, bias_rows,
+):
+    if bchunk % mc != 0:
+        raise ValueError(f"bchunk={bchunk} must be a multiple of mc={mc}")
     B, N, D = x.shape
     L = stacks["g1"].shape[0]
     B_pad, N_pad = _pad_sizes(B, N, bchunk)
     rdtype = x.dtype
     if (B_pad, N_pad) != (B, N):
         x = jnp.pad(x, [(0, B_pad - B), (0, N_pad - N), (0, 0)])
-    bias = _pad_bias(mask_bias, N, N_pad)
+    bias = _pad_bias(bias, N, N_pad, B=B if bias_rows else None, B_pad=B_pad)
 
     kernel = functools.partial(
-        _vit_train_fwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16
+        _trunk_fwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
+        activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
+    )
+    bias_spec = (
+        pl.BlockSpec((bchunk, N_pad), lambda c, l: (c, 0), memory_space=pltpu.VMEM)
+        if bias_rows
+        else pl.BlockSpec((N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM)
     )
     saved, y = pl.pallas_call(
         kernel,
@@ -271,9 +381,8 @@ def _fwd_call(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
                 (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM
-            ),
+            bias_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + _weight_specs(stacks, _layer_block),
         out_specs=(
@@ -292,22 +401,30 @@ def _fwd_call(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, bias, *[stacks[k] for k in _WEIGHT_KEYS])
+    )(x, bias, seed, *[stacks[k] for k in _WEIGHT_KEYS])
     return saved, y
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nhead", "bchunk", "mc", "act_bf16", "interpret")
-)
-def _bwd_call(saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpret):
+@functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
+def _bwd_call(
+    saved, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
+    interpret, eps, activation, dropout_rate, bias_rows,
+):
     L, B_pad, N_pad, D = saved.shape
     rdtype = saved.dtype
     n_bc = B_pad // bchunk
 
     kernel = functools.partial(
-        _vit_train_bwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16
+        _trunk_bwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
+        activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
+        L=L,
     )
     rev = functools.partial(_layer_block_rev, L=L)
+    bias_spec = (
+        pl.BlockSpec((bchunk, N_pad), lambda c, l: (c, 0), memory_space=pltpu.VMEM)
+        if bias_rows
+        else pl.BlockSpec((N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM)
+    )
 
     def partial_spec(shape):
         nd = len(shape)
@@ -336,9 +453,8 @@ def _bwd_call(saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpre
                 (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM
-            ),
+            bias_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + _weight_specs(stacks, rev),
         out_specs=(
@@ -356,7 +472,7 @@ def _bwd_call(saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpre
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(saved, dy_pad, bias, *[stacks[k] for k in _WEIGHT_KEYS])
+    )(saved, dy_pad, bias, seed, *[stacks[k] for k in _WEIGHT_KEYS])
     grads = {
         k: jnp.sum(g, axis=0).astype(stacks[k].dtype)
         for k, g in zip(_WEIGHT_KEYS, gpartials)
@@ -364,6 +480,10 @@ def _bwd_call(saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpre
     return dx, grads
 
 
+_ZERO_SEED = np.zeros((1,), np.int32)
+
+
+# --------------------------------------------------------------------- ViT
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_vit_trunk_train(
     x: jnp.ndarray,  # (B, N, D) tokens at the residual dtype
@@ -384,20 +504,22 @@ def fused_vit_trunk_train(
     """
     B, N, _ = x.shape
     _, y = _fwd_call(
-        x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret
+        x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
+        act_bf16, interpret, 1e-6, "gelu", 0.0, False,
     )
     return y[:B, :N]
 
 
-def _trunk_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
+def _vit_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
     B, N, _ = x.shape
     saved, y = _fwd_call(
-        x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret
+        x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
+        act_bf16, interpret, 1e-6, "gelu", 0.0, False,
     )
     return y[:B, :N], (saved, stacks, mask_bias)
 
 
-def _trunk_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
+def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
     saved, stacks, mask_bias = res
     # saved.dtype == the primal x's dtype (the forward casts to x.dtype)
     B, N = dy.shape[:2]
@@ -407,13 +529,93 @@ def _trunk_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
     )
     bias = _pad_bias(mask_bias, N, N_pad)
     dx, grads = _bwd_call(
-        saved, dy_pad, bias, stacks, nhead, bchunk, mc, act_bf16, interpret
+        saved, dy_pad, bias, jnp.asarray(_ZERO_SEED), stacks, nhead, bchunk,
+        mc, act_bf16, interpret, 1e-6, "gelu", 0.0, False,
     )
-    return (
-        dx[:B, :N],
-        grads,
-        jnp.zeros_like(mask_bias),
-    )
+    return dx[:B, :N], grads, jnp.zeros_like(mask_bias)
 
 
-fused_vit_trunk_train.defvjp(_trunk_fwd, _trunk_bwd)
+fused_vit_trunk_train.defvjp(_vit_fwd, _vit_bwd)
+
+
+# ----------------------------------------------------- denoiser (encoder)
+def stack_encoder_trunk_params(trunk_params, num_layers: int):
+    """Flax TransformerEncoder params (models/layers.py layers_i) -> f32
+    per-array layer stacks under the shared _WEIGHT_KEYS naming."""
+    name_map = {
+        "g1": ("norm1", "scale"), "b1": ("norm1", "bias"),
+        "wqkv": ("self_attn", "in_proj", "kernel"),
+        "bqkv": ("self_attn", "in_proj", "bias"),
+        "wproj": ("self_attn", "out_proj", "kernel"),
+        "bproj": ("self_attn", "out_proj", "bias"),
+        "g2": ("norm2", "scale"), "b2": ("norm2", "bias"),
+        "wfc1": ("linear1", "kernel"), "bfc1": ("linear1", "bias"),
+        "wfc2": ("linear2", "kernel"), "bfc2": ("linear2", "bias"),
+    }
+    out = {}
+    for key, path in name_map.items():
+        leaves = []
+        for i in range(num_layers):
+            node = trunk_params[f"layers_{i}"]
+            for p in path:
+                node = node[p]
+            leaves.append(node)
+        arr = jnp.stack(leaves).astype(jnp.float32)
+        if arr.ndim == 2:  # (L, d) vectors -> (L, 1, d): Mosaic block rule
+            arr = arr[:, None, :]
+        out[key] = arr
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_encoder_trunk_train(
+    x: jnp.ndarray,  # (B, N, D) tokens at the residual dtype
+    stacks: dict,  # stack_encoder_trunk_params (f32)
+    row_bias: jnp.ndarray,  # (B, N) additive key bias (0 / -1e30), no grad
+    seed: jnp.ndarray,  # (1,) int32 dropout seed (ignored if rate == 0)
+    nhead: int = 4,
+    bchunk: int = 256,
+    mc: int = 32,
+    act_bf16: bool = False,
+    dropout_rate: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused denoiser trunk (torch TransformerEncoder
+    semantics: pre-norm, ReLU FF, LN eps 1e-5, dropout at the four torch
+    sites when ``dropout_rate`` > 0).  Dropout requires the TPU PRNG —
+    not available in interpret mode."""
+    B, N, _ = x.shape
+    _, y = _fwd_call(
+        x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16, interpret,
+        1e-5, "relu", dropout_rate, True,
+    )
+    return y[:B, :N]
+
+
+def _enc_fwd(x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16,
+             dropout_rate, interpret):
+    B, N, _ = x.shape
+    saved, y = _fwd_call(
+        x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16, interpret,
+        1e-5, "relu", dropout_rate, True,
+    )
+    return y[:B, :N], (saved, stacks, row_bias, seed)
+
+
+def _enc_bwd(nhead, bchunk, mc, act_bf16, dropout_rate, interpret, res, dy):
+    saved, stacks, row_bias, seed = res
+    B, N = dy.shape[:2]
+    L, B_pad, N_pad, D = saved.shape
+    dy_pad = jnp.pad(
+        dy.astype(saved.dtype), [(0, B_pad - B), (0, N_pad - N), (0, 0)]
+    )
+    bias = _pad_bias(row_bias, N, N_pad, B=B, B_pad=B_pad)
+    dx, grads = _bwd_call(
+        saved, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
+        interpret, 1e-5, "relu", dropout_rate, True,
+    )
+    ct_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
+    return dx[:B, :N], grads, jnp.zeros_like(row_bias), ct_seed
+
+
+fused_encoder_trunk_train.defvjp(_enc_fwd, _enc_bwd)

@@ -180,6 +180,97 @@ class TestFusedVitTrunkTrain:
                 err_msg=jax.tree_util.keystr(k),
             )
 
+    def test_encoder_trunk_matches_flax_encoder(self, rng):
+        """fused_encoder_trunk_train (relu, eps 1e-5, per-row bias) vs the
+        Flax TransformerEncoder in eval mode — value and grads."""
+        from posediffusion_tpu.models.layers import TransformerEncoder
+        from posediffusion_tpu.ops.vit_train_kernel import (
+            fused_encoder_trunk_train,
+            stack_encoder_trunk_params,
+        )
+
+        d, nhead, L, B, N = 64, 2, 2, 5, 6
+        enc = TransformerEncoder(
+            d_model=d, nhead=nhead, num_encoder_layers=L,
+            dim_feedforward=2 * d, dropout=0.1,
+        )
+        x = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        r = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        mask = jnp.asarray((rng.uniform(size=(B, N)) > 0.3).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), x, mask=mask)
+        row_bias = jnp.where(mask.astype(bool), 0.0, -1e30).astype(jnp.float32)
+        seed = jnp.zeros((1,), jnp.int32)
+
+        def ref_loss(v):
+            # padded frames produce garbage rows: weight by the mask like
+            # the diffusion loss does
+            y = enc.apply(v, x, mask=mask, deterministic=True)
+            return jnp.sum(y * r * mask[..., None])
+
+        def fused_loss(v):
+            stacks = stack_encoder_trunk_params(v["params"], L)
+            y = fused_encoder_trunk_train(
+                x, stacks, row_bias, seed, nhead, 4, 2, False, 0.0, True
+            )
+            return jnp.sum(y * r * mask[..., None])
+
+        ref_val, ref_g = jax.value_and_grad(ref_loss)(variables)
+        fused_val, fused_g = jax.value_and_grad(fused_loss)(variables)
+        np.testing.assert_allclose(float(fused_val), float(ref_val), rtol=1e-5)
+        for (k, v), (_, w) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(fused_g),
+        ):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(v), atol=5e-5 * scale,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_denoiser_train_apply_matches_flax_denoiser(self, rng):
+        """Full denoiser train path (embeddings + trunk kernel + head) vs
+        Denoiser.apply in deterministic mode — value and grads."""
+        from posediffusion_tpu.models.denoiser import (
+            Denoiser,
+            denoiser_train_apply,
+        )
+
+        B, N, zd = 5, 4, 16
+        den = Denoiser(
+            z_dim=zd, d_model=32, nhead=2, num_encoder_layers=2,
+            dim_feedforward=64, mlp_hidden_dim=16,
+        )
+        x = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32) * 0.3)
+        t = jnp.asarray(rng.integers(0, 100, size=(B,)).astype(np.int32))
+        z = jnp.asarray(rng.normal(size=(B, N, zd)).astype(np.float32))
+        mask = jnp.asarray((rng.uniform(size=(B, N)) > 0.25).astype(np.float32))
+        variables = den.init(jax.random.PRNGKey(0), x, t, z)
+        r = jnp.asarray(rng.normal(size=(B, N, 9)).astype(np.float32))
+
+        def ref_loss(v):
+            y = den.apply(v, x, t, z, mask=mask)
+            return jnp.sum(y * r * mask[..., None])
+
+        def fused_loss(v):
+            y = denoiser_train_apply(
+                v, x, t, z, mask=mask, nhead=2, num_encoder_layers=2,
+                dropout_rate=0.0, bchunk=4, mc=2, interpret=True,
+            )
+            return jnp.sum(y * r * mask[..., None])
+
+        ref_val, ref_g = jax.value_and_grad(ref_loss)(variables)
+        fused_val, fused_g = jax.value_and_grad(fused_loss)(variables)
+        np.testing.assert_allclose(float(fused_val), float(ref_val), rtol=1e-5)
+        for (k, v), (_, w) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(fused_g),
+        ):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(v), atol=5e-5 * scale,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
     def test_block_diag_bias_segments_independent(self, rng):
         # scale-packing contract: grads under a block-diagonal bias equal
         # grads of per-segment runs
