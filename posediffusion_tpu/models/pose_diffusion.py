@@ -324,6 +324,30 @@ class PoseDiffusionModel:
                     num_encoder_layers=self.config.num_encoder_layers,
                     pivot_cam_onehot=self.config.pivot_cam_onehot,
                 )
+        elif (
+            self.config.fused_sampler
+            and jax.devices()[0].platform not in ("cpu",)
+        ):
+            # Batched sampling (B > 1, e.g. the in-training eval loop):
+            # the whole-loop kernel is single-sequence, but the per-step
+            # denoiser trunk can still run as ONE Pallas launch per step
+            # via the train-path encoder kernel (dropout 0, forward only)
+            # instead of the ~50 XLA fusions the Flax trunk dispatches
+            # inside the 100-step scan.
+            from posediffusion_tpu.models.denoiser import denoiser_train_apply
+
+            c = self.config
+
+            def model_fn(x, tt):
+                return denoiser_train_apply(
+                    denoiser_params, x, tt, z, mask=mask,
+                    nhead=c.nhead,
+                    num_encoder_layers=c.num_encoder_layers,
+                    pivot_cam_onehot=c.pivot_cam_onehot,
+                    dropout_rate=0.0,
+                    act_bf16=(c.denoiser_dtype == "bfloat16"),
+                    residual_dtype=jnp.dtype(c.denoiser_dtype),
+                )
         else:
             def model_fn(x, tt):
                 return self.denoiser.apply(denoiser_params, x, tt, z, mask=mask)
