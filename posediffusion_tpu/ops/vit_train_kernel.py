@@ -203,7 +203,7 @@ def _trunk_fwd_kernel(
     n_mc = acc_ref.shape[0] // mc
     N = acc_ref.shape[1]
     D = acc_ref.shape[2]
-    F = wrefs[10].shape[1]  # wfc1 (1, D, F)
+    F = wrefs[8].shape[2]  # wfc1 block is (1, D, F)
 
     def step(i, carry):
         xs = acc_ref[pl.ds(i * mc, mc)]
@@ -251,7 +251,7 @@ def _trunk_bwd_kernel(
     n_mc = dyacc_ref.shape[0] // mc
     N = dyacc_ref.shape[1]
     D = dyacc_ref.shape[2]
-    F = wrefs[10].shape[1]
+    F = wrefs[8].shape[2]  # wfc1 block is (1, D, F)
 
     def step(i, carry):
         xs = saved_ref[0, pl.ds(i * mc, mc)]
