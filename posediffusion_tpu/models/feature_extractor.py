@@ -229,6 +229,7 @@ def extract_features_train(
     bchunk: int = 16,
     mc: int = 4,
     interpret: bool = False,
+    layer_scale: bool = False,  # DINOv2 ls1/ls2 gains
 ) -> jnp.ndarray:
     """TRAIN-path multiscale extraction, differentiable end to end, with the
     12-block ViT trunk as ONE Pallas launch forward and ONE backward
@@ -245,17 +246,19 @@ def extract_features_train(
     Gradient/primal parity with the Flax extractor is pinned in
     tests/test_vit_train_kernel.py (exact at f32).
     """
-    from posediffusion_tpu.ops.vit_kernel import stack_vit_params
-    from posediffusion_tpu.ops.vit_train_kernel import fused_vit_trunk_train
+    from posediffusion_tpu.ops.vit_train_kernel import (
+        fused_vit_trunk_train,
+        stack_vit_params_train,
+    )
 
     p = variables["params"]["net"]
     # f32 stacks: bf16 casts happen inside the kernel so weight grads are f32
-    stacks = stack_vit_params(p, depth, weight_dtype=jnp.float32)
+    stacks = stack_vit_params_train(p, depth, layer_scale=layer_scale)
     x, bias, offsets = _embed_pack_scales(
         p, images_nchw, scale_factors, patch_size, embed_dim, pos_grid
     )
     x = fused_vit_trunk_train(
         x.astype(residual_dtype), stacks, jnp.asarray(bias),
-        num_heads, bchunk, mc, act_bf16, interpret,
+        num_heads, bchunk, mc, act_bf16, interpret, layer_scale,
     )
     return _multiscale_cls_head(p, x, offsets)

@@ -159,12 +159,16 @@ class PoseDiffusionModel:
             )
 
             c = self.config
+            is_v2 = "dinov2" in c.modelname
             z = extract_features_train(
                 params["extractor"], flat,
-                scale_factors=c.scale_factors, patch_size=c.patch_size,
+                scale_factors=c.scale_factors,
+                patch_size=14 if is_v2 else c.patch_size,
                 embed_dim=c.z_dim, depth=c.vit_depth, num_heads=c.vit_heads,
+                pos_grid=37 if is_v2 else 14,
                 act_bf16=(c.compute_dtype == "bfloat16"),
                 residual_dtype=jnp.dtype(c.compute_dtype),
+                layer_scale=is_v2,
             )
         elif fused:
             from posediffusion_tpu.models.feature_extractor import (
@@ -208,7 +212,7 @@ class PoseDiffusionModel:
         fused_extract = (
             fused_ok
             and self.config.fused_train_extractor
-            and self.config.modelname.startswith("dino_vit")
+            and self.config.modelname.startswith(("dino_vit", "dinov2"))
         )
         fused_denoiser = fused_ok and self.config.fused_train_denoiser
         z = self.extract_features(params, images, fused_train=fused_extract)

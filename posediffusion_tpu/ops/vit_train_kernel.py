@@ -61,7 +61,12 @@ _WEIGHT_KEYS = (
     "g1", "b1", "wqkv", "bqkv", "wproj", "bproj",
     "g2", "b2", "wfc1", "bfc1", "wfc2", "bfc2",
 )
+_LS_KEYS = ("ls1", "ls2")  # DINOv2 LayerScale gains (optional)
 _NEG_INF = -1e30
+
+
+def _keys(layer_scale: bool):
+    return _WEIGHT_KEYS + (_LS_KEYS if layer_scale else ())
 
 
 def _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, rate):
@@ -98,7 +103,8 @@ def _block_chunk(
     backward kernel.  ``key_bias`` broadcasts against (mc, N, N) scores —
     (1, N, N) for shared bias, (mc, 1, N) for per-row key masks.
     """
-    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w
+    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w[:12]
+    ls = w[12:]  # (ls1, ls2) LayerScale gains when present (DINOv2)
     mcN = x.shape[0] * x.shape[1]
     D = x.shape[-1]
     Dh = D // nhead
@@ -151,6 +157,8 @@ def _block_chunk(
         )
     attn = jnp.concatenate(heads_out, axis=2)
     attn = linear(attn.reshape(mcN, D), wproj, bproj).reshape(x.shape)
+    if ls:
+        attn = attn * ls[0]
     if drop_masks is not None:
         attn = attn * drop_masks[1]
     x = x + attn.astype(x.dtype)
@@ -164,16 +172,18 @@ def _block_chunk(
     if drop_masks is not None:
         h = h * drop_masks[2].reshape(mcN, -1)
     h = linear(h, wfc2, bfc2).reshape(x.shape)
+    if ls:
+        h = h * ls[1]
     if drop_masks is not None:
         h = h * drop_masks[3]
     return x + h.astype(x.dtype)
 
 
-def _read_weights(refs):
+def _read_weights(refs, keys):
     """Layer-blocked weight refs -> value tuple (matrices (Din, Dout),
     vectors (D,))."""
     out = []
-    for key, ref in zip(_WEIGHT_KEYS, refs):
+    for key, ref in zip(keys, refs):
         if key.startswith("w"):
             out.append(ref[0])
         else:
@@ -184,9 +194,11 @@ def _read_weights(refs):
 def _trunk_fwd_kernel(
     x_ref, bias_ref, seed_ref, *rest,
     nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
-    dropout_rate: float, bias_rows: bool,
+    dropout_rate: float, bias_rows: bool, layer_scale: bool = False,
 ):
-    wrefs, (saved_ref, y_ref, acc_ref) = rest[:12], rest[12:]
+    keys = _keys(layer_scale)
+    n_w = len(keys)
+    wrefs, (saved_ref, y_ref, acc_ref) = rest[:n_w], rest[n_w:]
     c = pl.program_id(0)
     l = pl.program_id(1)
 
@@ -197,7 +209,7 @@ def _trunk_fwd_kernel(
     # the residual: this block's INPUT (everything else remats in backward)
     saved_ref[0] = acc_ref[...]
 
-    weights = _read_weights(wrefs)
+    weights = _read_weights(wrefs, keys)
     if not bias_rows:
         shared_bias = bias_ref[...][None]
     n_mc = acc_ref.shape[0] // mc
@@ -231,12 +243,14 @@ def _trunk_fwd_kernel(
 def _trunk_bwd_kernel(
     saved_ref, dy_ref, bias_ref, seed_ref, *rest,
     nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
-    dropout_rate: float, bias_rows: bool, L: int,
+    dropout_rate: float, bias_rows: bool, L: int, layer_scale: bool = False,
 ):
-    wrefs = rest[:12]
-    grefs = rest[13:25]
-    dx_ref = rest[12]
-    dyacc_ref = rest[25]
+    keys = _keys(layer_scale)
+    n_w = len(keys)
+    wrefs = rest[:n_w]
+    dx_ref = rest[n_w]
+    grefs = rest[n_w + 1 : 2 * n_w + 1]
+    dyacc_ref = rest[2 * n_w + 1]
     c = pl.program_id(0)
     l_rev = pl.program_id(1)
     l = L - 1 - l_rev  # actual layer index (for the dropout PRNG seed)
@@ -245,7 +259,7 @@ def _trunk_bwd_kernel(
     def _():
         dyacc_ref[...] = dy_ref[...].astype(dyacc_ref.dtype)
 
-    weights = _read_weights(wrefs)
+    weights = _read_weights(wrefs, keys)
     if not bias_rows:
         shared_bias = bias_ref[...][None]
     n_mc = dyacc_ref.shape[0] // mc
@@ -306,9 +320,9 @@ def _layer_block_rev(shape, L):
     )
 
 
-def _weight_specs(stacks, block_fn):
+def _weight_specs(stacks, block_fn, keys):
     specs = []
-    for key in _WEIGHT_KEYS:
+    for key in keys:
         specs.append(block_fn(tuple(stacks[key].shape[1:])))
     return specs
 
@@ -341,15 +355,16 @@ def _pad_bias(mask_bias, N, N_pad, B=None, B_pad=None):
 
 _STATIC_NAMES = (
     "nhead", "bchunk", "mc", "act_bf16", "interpret", "eps", "activation",
-    "dropout_rate", "bias_rows",
+    "dropout_rate", "bias_rows", "layer_scale",
 )
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _fwd_call(
     x, stacks, bias, seed, nhead, bchunk, mc, act_bf16, interpret,
-    eps, activation, dropout_rate, bias_rows,
+    eps, activation, dropout_rate, bias_rows, layer_scale=False,
 ):
+    keys = _keys(layer_scale)
     if bchunk % mc != 0:
         raise ValueError(f"bchunk={bchunk} must be a multiple of mc={mc}")
     B, N, D = x.shape
@@ -363,6 +378,7 @@ def _fwd_call(
     kernel = functools.partial(
         _trunk_fwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
         activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
+        layer_scale=layer_scale,
     )
     bias_spec = (
         pl.BlockSpec((bchunk, N_pad), lambda c, l: (c, 0), memory_space=pltpu.VMEM)
@@ -384,7 +400,7 @@ def _fwd_call(
             bias_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + _weight_specs(stacks, _layer_block),
+        + _weight_specs(stacks, _layer_block, keys),
         out_specs=(
             pl.BlockSpec(
                 (1, bchunk, N_pad, D), lambda c, l: (l, c, 0, 0),
@@ -401,15 +417,16 @@ def _fwd_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x, bias, seed, *[stacks[k] for k in _WEIGHT_KEYS])
+    )(x, bias, seed, *[stacks[k] for k in keys])
     return saved, y
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _bwd_call(
     saved, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
-    interpret, eps, activation, dropout_rate, bias_rows,
+    interpret, eps, activation, dropout_rate, bias_rows, layer_scale=False,
 ):
+    keys = _keys(layer_scale)
     L, B_pad, N_pad, D = saved.shape
     rdtype = saved.dtype
     n_bc = B_pad // bchunk
@@ -417,7 +434,7 @@ def _bwd_call(
     kernel = functools.partial(
         _trunk_bwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
         activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
-        L=L,
+        L=L, layer_scale=layer_scale,
     )
     rev = functools.partial(_layer_block_rev, L=L)
     bias_spec = (
@@ -436,7 +453,7 @@ def _bwd_call(
 
     grad_shapes = tuple(
         jax.ShapeDtypeStruct((n_bc, L) + tuple(stacks[k].shape[1:]), jnp.float32)
-        for k in _WEIGHT_KEYS
+        for k in keys
     )
     dx, *gpartials = pl.pallas_call(
         kernel,
@@ -456,7 +473,7 @@ def _bwd_call(
             bias_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
-        + _weight_specs(stacks, rev),
+        + _weight_specs(stacks, rev, keys),
         out_specs=(
             pl.BlockSpec(
                 (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
@@ -464,7 +481,7 @@ def _bwd_call(
             ),
         )
         + tuple(
-            partial_spec(tuple(stacks[k].shape[1:])) for k in _WEIGHT_KEYS
+            partial_spec(tuple(stacks[k].shape[1:])) for k in keys
         ),
         scratch_shapes=[pltpu.VMEM((bchunk, N_pad, D), rdtype)],
         compiler_params=pltpu.CompilerParams(
@@ -472,10 +489,10 @@ def _bwd_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(saved, dy_pad, bias, seed, *[stacks[k] for k in _WEIGHT_KEYS])
+    )(saved, dy_pad, bias, seed, *[stacks[k] for k in keys])
     grads = {
         k: jnp.sum(g, axis=0).astype(stacks[k].dtype)
-        for k, g in zip(_WEIGHT_KEYS, gpartials)
+        for k, g in zip(keys, gpartials)
     }
     return dx, grads
 
@@ -484,7 +501,22 @@ _ZERO_SEED = np.zeros((1,), np.int32)
 
 
 # --------------------------------------------------------------------- ViT
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def stack_vit_params_train(vit_params, depth: int, layer_scale: bool = False):
+    """f32 weight stacks for the train kernels, including the DINOv2
+    LayerScale gains when ``layer_scale``."""
+    from posediffusion_tpu.ops.vit_kernel import stack_vit_params
+
+    stacks = stack_vit_params(vit_params, depth, weight_dtype=jnp.float32)
+    if layer_scale:
+        for key, pname in (("ls1", "ls1_gamma"), ("ls2", "ls2_gamma")):
+            arr = jnp.stack(
+                [vit_params[f"blocks_{i}"][pname] for i in range(depth)]
+            ).astype(jnp.float32)
+            stacks[key] = arr[:, None, :]
+    return stacks
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def fused_vit_trunk_train(
     x: jnp.ndarray,  # (B, N, D) tokens at the residual dtype
     stacks: dict,  # stack_vit_params(..., weight_dtype=float32)
@@ -494,10 +526,12 @@ def fused_vit_trunk_train(
     mc: int = 4,
     act_bf16: bool = False,
     interpret: bool = False,
+    layer_scale: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused ViT trunk: ONE Pallas launch forward, ONE back.
 
-    Weight stacks must be f32 (``stack_vit_params(weight_dtype=float32)``);
+    Weight stacks must be f32 (``stack_vit_params(weight_dtype=float32)``,
+    or ``stack_vit_params_train(..., layer_scale=True)`` for DINOv2);
     bf16 matmul casts happen inside the kernel so weight grads stay f32.
     ``mask_bias`` is structural (padding / scale packing) and receives a
     zero gradient.
@@ -505,21 +539,22 @@ def fused_vit_trunk_train(
     B, N, _ = x.shape
     _, y = _fwd_call(
         x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
-        act_bf16, interpret, 1e-6, "gelu", 0.0, False,
+        act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
     )
     return y[:B, :N]
 
 
-def _vit_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret):
+def _vit_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret,
+             layer_scale):
     B, N, _ = x.shape
     saved, y = _fwd_call(
         x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
-        act_bf16, interpret, 1e-6, "gelu", 0.0, False,
+        act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
     )
     return y[:B, :N], (saved, stacks, mask_bias)
 
 
-def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
+def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, layer_scale, res, dy):
     saved, stacks, mask_bias = res
     # saved.dtype == the primal x's dtype (the forward casts to x.dtype)
     B, N = dy.shape[:2]
@@ -530,7 +565,7 @@ def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, res, dy):
     bias = _pad_bias(mask_bias, N, N_pad)
     dx, grads = _bwd_call(
         saved, dy_pad, bias, jnp.asarray(_ZERO_SEED), stacks, nhead, bchunk,
-        mc, act_bf16, interpret, 1e-6, "gelu", 0.0, False,
+        mc, act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
     )
     return dx[:B, :N], grads, jnp.zeros_like(mask_bias)
 

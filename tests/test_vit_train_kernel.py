@@ -180,6 +180,63 @@ class TestFusedVitTrunkTrain:
                 err_msg=jax.tree_util.keystr(k),
             )
 
+    def test_layer_scale_grads_match_flax(self, rng):
+        """DINOv2 LayerScale flavor: value + grads (incl. ls gammas) vs the
+        Flax blocks with layer_scale=True."""
+        from posediffusion_tpu.ops.vit_train_kernel import (
+            fused_vit_trunk_train,
+            stack_vit_params_train,
+        )
+
+        d, nhead, L, B, N = 64, 2, 2, 3, 9
+        vit = VisionTransformer(
+            patch_size=16, embed_dim=d, depth=L, num_heads=nhead,
+            layer_scale=True,
+        )
+        img = jnp.asarray(rng.uniform(size=(B, 3, 32, 32)).astype(np.float32))
+        params = vit.init(jax.random.PRNGKey(0), img)
+        # non-trivial gammas so the test actually exercises the scaling
+        params = jax.tree.map(
+            lambda a: a * 0.7 if a.ndim == 1 else a, params
+        )
+        x = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        r = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+
+        def ref_loss(p):
+            h = x
+            for i in range(L):
+                h = ViTBlock(d, nhead, layer_scale=True).apply(
+                    {"params": p["params"][f"blocks_{i}"]}, h
+                )
+            return jnp.sum(h * r)
+
+        def fused_loss(p):
+            stacks = stack_vit_params_train(
+                p["params"], L, layer_scale=True
+            )
+            y = fused_vit_trunk_train(
+                x, stacks, _zero_bias(N), nhead, 2, 1, False, True, True
+            )
+            return jnp.sum(y * r)
+
+        ref_val, ref_g = jax.value_and_grad(ref_loss)(params)
+        fused_val, fused_g = jax.value_and_grad(fused_loss)(params)
+        np.testing.assert_allclose(float(fused_val), float(ref_val), rtol=1e-5)
+        flat_fused = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(fused_g)
+        )
+        saw_gamma = 0
+        for k, v in jax.tree_util.tree_leaves_with_path(ref_g):
+            key = jax.tree_util.keystr(k)
+            saw_gamma += int("gamma" in key)
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(flat_fused[key]), np.asarray(v),
+                atol=2e-5 * scale, err_msg=key,
+            )
+        assert saw_gamma == 2 * L  # ls1+ls2 per block actually checked
+
     def test_encoder_trunk_matches_flax_encoder(self, rng):
         """fused_encoder_trunk_train (relu, eps 1e-5, per-row bias) vs the
         Flax TransformerEncoder in eval mode — value and grads."""
