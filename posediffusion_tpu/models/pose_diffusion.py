@@ -75,6 +75,15 @@ class PoseDiffusionConfig:
     # forward + one backward, with in-kernel PRNG dropout at the torch
     # sites.  Falls back to the Flax trunk off-TPU / multi-device GSPMD.
     fused_train_denoiser: bool = True
+    # Train-kernel tile knobs (see experiments/tune_train_kernels.py): the
+    # batch chunk resident in VMEM across layers and the micro-chunk per
+    # in-kernel vjp.  Larger mc = bigger MXU tiles but more vjp residual
+    # VMEM (scales with token_count^2 for attention probs — lower mc for
+    # 336px inputs).
+    vit_train_bchunk: int = 16
+    vit_train_mc: int = 4
+    denoiser_train_bchunk: int = 256
+    denoiser_train_mc: int = 32
     # bf16 activations inside the fused ViT trunk on the inference path (the
     # MXU's native dtype; ~2x the f32 matmul rate).  Weights already stream
     # as bf16.  Set False for f32-exact feature extraction; feature deviation
@@ -168,6 +177,7 @@ class PoseDiffusionModel:
                 pos_grid=37 if is_v2 else 14,
                 act_bf16=(c.compute_dtype == "bfloat16"),
                 residual_dtype=jnp.dtype(c.compute_dtype),
+                bchunk=c.vit_train_bchunk, mc=c.vit_train_mc,
                 layer_scale=is_v2,
             )
         elif fused:
@@ -249,6 +259,8 @@ class PoseDiffusionModel:
                     dropout_rate=c.dropout if train else 0.0,
                     act_bf16=(c.denoiser_dtype == "bfloat16"),
                     residual_dtype=jnp.dtype(c.denoiser_dtype),
+                    bchunk=c.denoiser_train_bchunk,
+                    mc=c.denoiser_train_mc,
                 )
 
         else:
