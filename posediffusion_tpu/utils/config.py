@@ -148,6 +148,14 @@ def build_model_config(model_cfg: Config):
         vit_depth=extractor.get("depth", 12),
         scale_factors=tuple(extractor.get("scale_factors", (1.0, 1.0 / 2, 1.0 / 3))),
         compute_dtype=str(extractor.get("compute_dtype", "float32")),
+        # fused train-kernel gates + tile knobs (TPU-framework extensions;
+        # see experiments/tune_train_kernels.py)
+        fused_train_extractor=bool(extractor.get("fused_train", True)),
+        vit_train_bchunk=int(extractor.get("train_bchunk", 16)),
+        vit_train_mc=int(extractor.get("train_mc", 4)),
+        fused_train_denoiser=bool(tr.get("fused_train", True)),
+        denoiser_train_bchunk=int(tr.get("train_bchunk", 256)),
+        denoiser_train_mc=int(tr.get("train_mc", 32)),
         timesteps=diff.get("timesteps", 100),
         beta_1=diff.get("beta_1", 1e-4),
         beta_T=diff.get("beta_T", 0.1),
