@@ -152,7 +152,7 @@ class PoseDiffusionModel:
     # -------------------------------------------------------------- features
     def extract_features(
         self, params, images: jnp.ndarray, fused: bool = False,
-        fused_train: bool = False,
+        fused_train: bool = False, interpret: bool = False,
     ) -> jnp.ndarray:
         """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT.
 
@@ -178,6 +178,7 @@ class PoseDiffusionModel:
                 act_bf16=(c.compute_dtype == "bfloat16"),
                 residual_dtype=jnp.dtype(c.compute_dtype),
                 bchunk=c.vit_train_bchunk, mc=c.vit_train_mc,
+                interpret=interpret,
                 layer_scale=is_v2,
             )
         elif fused:
@@ -218,14 +219,26 @@ class PoseDiffusionModel:
         """
         if fused_train is None:
             fused_train = jax.device_count() == 1
-        fused_ok = fused_train and jax.devices()[0].platform not in ("cpu",)
+        # Test hook: run the fused train branches with interpret-mode Pallas
+        # on CPU, so CI exercises the full loss wiring (custom VJPs, stack
+        # plumbing, seeds) that otherwise only executes on TPU.
+        import os
+
+        interpret = (
+            os.environ.get("POSEDIFFUSION_FUSED_TRAIN_INTERPRET") == "1"
+        )
+        fused_ok = interpret or (
+            fused_train and jax.devices()[0].platform not in ("cpu",)
+        )
         fused_extract = (
             fused_ok
             and self.config.fused_train_extractor
             and self.config.modelname.startswith(("dino_vit", "dinov2"))
         )
         fused_denoiser = fused_ok and self.config.fused_train_denoiser
-        z = self.extract_features(params, images, fused_train=fused_extract)
+        z = self.extract_features(
+            params, images, fused_train=fused_extract, interpret=interpret
+        )
         if self.config.freeze_extractor:
             # reference freeze option (image_feature_extractor.py:50-52):
             # no gradients flow into the backbone
@@ -261,6 +274,7 @@ class PoseDiffusionModel:
                     residual_dtype=jnp.dtype(c.denoiser_dtype),
                     bchunk=c.denoiser_train_bchunk,
                     mc=c.denoiser_train_mc,
+                    interpret=interpret,
                 )
 
         else:

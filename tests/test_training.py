@@ -201,6 +201,48 @@ class TestTrainStep:
         for a, b in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_sharded.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_fused_train_step_interpret_matches_flax_step(self, rng, monkeypatch):
+        """Integration pin for the TPU train path: the FULL train step with
+        both fused Pallas train branches engaged (interpret kernels via the
+        POSEDIFFUSION_FUSED_TRAIN_INTERPRET hook) must reproduce the Flax
+        step's loss and updated params.  Same key -> identical t/noise;
+        dropout=0 so the denoiser paths are comparable."""
+        cfg = PoseDiffusionConfig(
+            z_dim=32, d_model=32, nhead=2, num_encoder_layers=2,
+            dim_feedforward=64, mlp_hidden_dim=16, vit_depth=2, vit_heads=2,
+            timesteps=8, scale_factors=(1.0,), dropout=0.0,
+            vit_train_bchunk=4, vit_train_mc=2,
+            denoiser_train_bchunk=4, denoiser_train_mc=2,
+        )
+        model = PoseDiffusionModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        opt, _ = make_optimizer(lr=1e-4, T_0=100, iters_per_epoch=10)
+        batch = make_batch(rng, B=2, N=3)
+        key = jax.random.PRNGKey(3)
+
+        step = make_train_step(model, opt, batch_repeat=2, compute_metrics=False)
+        s_flax, m_flax = jax.jit(step)(
+            TrainState.create(jax.tree.map(jnp.copy, params), opt), batch, key
+        )
+
+        monkeypatch.setenv("POSEDIFFUSION_FUSED_TRAIN_INTERPRET", "1")
+        # fresh closure so the env hook is read at trace time
+        step_fused = make_train_step(
+            model, opt, batch_repeat=2, compute_metrics=False
+        )
+        s_fused, m_fused = jax.jit(step_fused)(
+            TrainState.create(params, opt), batch, key
+        )
+        np.testing.assert_allclose(
+            float(m_fused["loss"]), float(m_flax["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_fused.params), jax.tree.leaves(s_flax.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            )
+
     def test_shard_map_dp_step_runs_and_replicates(self, rng):
         """Explicit shard_map DP step (the path that scales Pallas kernels
         across chips — GSPMD cannot partition a pallas_call)."""
