@@ -269,6 +269,52 @@ class TestTrainStep:
         assert leaf.sharding.is_fully_replicated
         assert int(new_state.step) == 1
 
+    def test_shard_map_fused_kernels_per_shard(self, rng, monkeypatch):
+        """Fused train kernels INSIDE shard_map on the 8-device mesh (the
+        combination real multi-chip fused training executes: shard_map +
+        per-shard Pallas).  With dropout 0 and the same per-shard folded
+        keys, the fused sharded step must match the Flax sharded step."""
+        from posediffusion_tpu.parallel import replicated
+        from posediffusion_tpu.training import make_sharded_train_step
+
+        mesh = make_mesh(8, fsdp=1)
+        cfg = PoseDiffusionConfig(
+            z_dim=32, d_model=32, nhead=2, num_encoder_layers=2,
+            dim_feedforward=64, mlp_hidden_dim=16, vit_depth=2, vit_heads=2,
+            timesteps=8, scale_factors=(1.0,), dropout=0.0,
+            vit_train_bchunk=2, vit_train_mc=1,
+            denoiser_train_bchunk=2, denoiser_train_mc=1,
+        )
+        model = PoseDiffusionModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        opt, _ = make_optimizer(lr=1e-4, T_0=100, iters_per_epoch=10)
+        batch = make_batch(rng, B=8)
+        key = jax.random.PRNGKey(11)
+
+        def run(fused):
+            state = jax.device_put(
+                TrainState.create(jax.tree.map(jnp.copy, params), opt),
+                replicated(mesh),
+            )
+            sharded = jax.device_put(batch, batch_sharding(mesh))
+            step = jax.jit(
+                make_sharded_train_step(
+                    model, opt, mesh, compute_metrics=False, fused_train=fused
+                )
+            )
+            return step(state, sharded, key)
+
+        s_flax, m_flax = run(False)
+        monkeypatch.setenv("POSEDIFFUSION_FUSED_TRAIN_INTERPRET", "1")
+        s_fused, m_fused = run(True)
+        np.testing.assert_allclose(
+            float(m_fused["loss"]), float(m_flax["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(s_fused.params), jax.tree.leaves(s_flax.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
     def test_shard_map_dp_matches_manual_per_shard_reference(self, rng):
         """Pin the psum wiring: loss and the updated params must equal a
         hand-computed global aggregate of per-shard model.loss calls with
