@@ -69,10 +69,13 @@ def _keys(layer_scale: bool):
     return _WEIGHT_KEYS + (_LS_KEYS if layer_scale else ())
 
 
-def _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, rate):
+def _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, rate,
+                    only_attn: bool = False):
     """Inverted-dropout multiplier masks for one micro-chunk, deterministic
     in (seed, layer, batch-chunk, micro-chunk) so forward and backward
-    generate bit-identical masks.  Pre-scaled by 1/keep."""
+    generate bit-identical masks.  Pre-scaled by 1/keep.  ``only_attn``
+    draws just the first two masks (attention probs + post-proj) — they
+    lead the stream, so the draws match the full sequence bit-for-bit."""
     pltpu.prng_seed(seed_ref[0], l, c, i)
     inv_keep = 1.0 / (1.0 - rate)
 
@@ -84,53 +87,58 @@ def _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, rate):
 
     attn = draw((nhead, mc, N, N))
     m1 = draw((mc, N, D))
+    if only_attn:
+        return attn, m1
     mff = draw((mc, N, F))
     m2 = draw((mc, N, D))
     return attn, m1, mff, m2
 
 
-def _block_chunk(
-    x, w, key_bias, *, nhead: int, act_bf16: bool, eps: float,
-    activation: str, drop_masks=None,
-):
-    """One pre-norm transformer block on a (mc, N, D) token chunk.
-
-    Math identical to models.vit.ViTBlock (gelu, no dropout) or
-    models.layers.TransformerEncoderLayer (relu, 4 dropout sites): f32
-    LayerNorm statistics, matmul operands cast to bf16 when ``act_bf16``
-    with f32 MXU accumulation, residual adds at x.dtype.  Used by the
-    forward kernel and rematerialized + transposed by ``jax.vjp`` in the
-    backward kernel.  ``key_bias`` broadcasts against (mc, N, N) scores —
-    (1, N, N) for shared bias, (mc, 1, N) for per-row key masks.
-    """
-    (g1, b1, wqkv, bqkv, wproj, bproj, g2, b2, wfc1, bfc1, wfc2, bfc2) = w[:12]
-    ls = w[12:]  # (ls1, ls2) LayerScale gains when present (DINOv2)
-    mcN = x.shape[0] * x.shape[1]
-    D = x.shape[-1]
-    Dh = D // nhead
-    scale = 1.0 / (Dh**0.5)
-    cast = (
+def _cast_fn(act_bf16: bool):
+    return (
         (lambda a: a.astype(jnp.bfloat16))
         if act_bf16
         else (lambda a: a.astype(jnp.float32))
     )
 
+
+def _linear(h2d, w2d, b1d, cast):
     # Linear layers run on a flattened (mc*N, D) view: their VJP transposes
     # are then plain single-contracting-dim matmuls, which is all Mosaic's
     # tpu.matmul supports (a 3D x^T dy weight-grad contraction over (mc, N)
     # fails to lower).  Attention stays batched over mc (batch dims are
     # fine; only multi-dim contractions are not).
-    def linear(h2d, w2d, b1d):
-        return (
-            jax.lax.dot_general(
-                cast(h2d), cast(w2d), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b1d
+    return (
+        jax.lax.dot_general(
+            cast(h2d), cast(w2d), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        + b1d
+    )
+
+
+def _attn_residual(
+    x, w, key_bias, *, nhead: int, act_bf16: bool, eps: float,
+    drop_masks=None,
+):
+    """x + [LayerScale] drop(proj(MHSA(LN1 x))) on a (mc, N, D) chunk.
+
+    ``w`` = (g1, b1, wqkv, bqkv, wproj, bproj[, ls1]); ``drop_masks`` =
+    (attn_probs_mask, post_proj_mask) or None.  ``key_bias`` broadcasts
+    against (mc, N, N) scores — (1, N, N) shared, (mc, 1, N) per-row.
+    """
+    g1, b1, wqkv, bqkv, wproj, bproj = w[:6]
+    ls = w[6:]
+    mcN = x.shape[0] * x.shape[1]
+    D = x.shape[-1]
+    Dh = D // nhead
+    scale = 1.0 / (Dh**0.5)
+    cast = _cast_fn(act_bf16)
 
     h = _layer_norm(x.astype(jnp.float32), g1, b1, eps=eps)
-    qkv = linear(h.reshape(mcN, D), wqkv, bqkv).reshape(*x.shape[:2], 3 * D)
+    qkv = _linear(h.reshape(mcN, D), wqkv, bqkv, cast).reshape(
+        *x.shape[:2], 3 * D
+    )
     heads_out = []
     for head in range(nhead):
         q = cast(qkv[:, :, head * Dh : (head + 1) * Dh])
@@ -156,27 +164,73 @@ def _block_chunk(
             )
         )
     attn = jnp.concatenate(heads_out, axis=2)
-    attn = linear(attn.reshape(mcN, D), wproj, bproj).reshape(x.shape)
+    attn = _linear(attn.reshape(mcN, D), wproj, bproj, cast).reshape(x.shape)
     if ls:
         attn = attn * ls[0]
     if drop_masks is not None:
         attn = attn * drop_masks[1]
-    x = x + attn.astype(x.dtype)
+    return x + attn.astype(x.dtype)
+
+
+def _mlp_residual(
+    x, w, *, act_bf16: bool, eps: float, activation: str, drop_masks=None,
+):
+    """x + [LayerScale] drop(fc2(drop(act(fc1(LN2 x))))) on a (mc, N, D)
+    chunk.  ``w`` = (g2, b2, wfc1, bfc1, wfc2, bfc2[, ls2]); ``drop_masks``
+    = (ff_mask, post_fc2_mask) or None."""
+    g2, b2, wfc1, bfc1, wfc2, bfc2 = w[:6]
+    ls = w[6:]
+    mcN = x.shape[0] * x.shape[1]
+    D = x.shape[-1]
+    cast = _cast_fn(act_bf16)
 
     h = _layer_norm(x.astype(jnp.float32), g2, b2, eps=eps)
-    h = linear(h.reshape(mcN, D), wfc1, bfc1)
+    h = _linear(h.reshape(mcN, D), wfc1, bfc1, cast)
     if activation == "gelu":
         h = 0.5 * h * (1.0 + _erf(h * (2.0**-0.5)))
     else:  # relu (torch TransformerEncoderLayer default)
         h = jnp.maximum(h, 0.0)
     if drop_masks is not None:
-        h = h * drop_masks[2].reshape(mcN, -1)
-    h = linear(h, wfc2, bfc2).reshape(x.shape)
+        h = h * drop_masks[0].reshape(mcN, -1)
+    h = _linear(h, wfc2, bfc2, cast).reshape(x.shape)
     if ls:
-        h = h * ls[1]
+        h = h * ls[0]
     if drop_masks is not None:
-        h = h * drop_masks[3]
+        h = h * drop_masks[1]
     return x + h.astype(x.dtype)
+
+
+def _split_weights(w):
+    """Full weight tuple -> (attn weights, mlp weights), each with its
+    LayerScale gain appended when present."""
+    w_attn = w[0:6] + ((w[12],) if len(w) > 12 else ())
+    w_mlp = w[6:12] + ((w[13],) if len(w) > 12 else ())
+    return w_attn, w_mlp
+
+
+def _block_chunk(
+    x, w, key_bias, *, nhead: int, act_bf16: bool, eps: float,
+    activation: str, drop_masks=None,
+):
+    """One pre-norm transformer block on a (mc, N, D) token chunk.
+
+    Math identical to models.vit.ViTBlock (gelu, no dropout) or
+    models.layers.TransformerEncoderLayer (relu, 4 dropout sites): f32
+    LayerNorm statistics, matmul operands cast to bf16 when ``act_bf16``
+    with f32 MXU accumulation, residual adds at x.dtype.  Used by the
+    forward kernel; the backward kernel differentiates the two residual
+    halves separately (see ``_trunk_bwd_kernel``) to bound register
+    pressure.
+    """
+    w_attn, w_mlp = _split_weights(w)
+    x = _attn_residual(
+        x, w_attn, key_bias, nhead=nhead, act_bf16=act_bf16, eps=eps,
+        drop_masks=None if drop_masks is None else drop_masks[:2],
+    )
+    return _mlp_residual(
+        x, w_mlp, act_bf16=act_bf16, eps=eps, activation=activation,
+        drop_masks=None if drop_masks is None else drop_masks[2:],
+    )
 
 
 def _read_weights(refs, keys):
@@ -267,37 +321,93 @@ def _trunk_bwd_kernel(
     D = dyacc_ref.shape[2]
     F = wrefs[8].shape[2]  # wfc1 block is (1, D, F)
 
-    def step(i, carry):
-        xs = saved_ref[0, pl.ds(i * mc, mc)]
-        dys = dyacc_ref[pl.ds(i * mc, mc)]
-        kb = (
+    w_attn, w_mlp = _split_weights(weights)
+    n_keys = len(weights)
+
+    def _kb(i):
+        return (
             bias_ref[pl.ds(i * mc, mc)][:, None, :] if bias_rows
             else shared_bias
         )
-        # regenerate the forward's dropout masks bit-identically
+
+    def _accum(gref, g, i):
+        # accumulate this batch chunk's weight grads in f32; out blocks are
+        # per-(chunk, layer), initialized at the first micro-chunk (the
+        # unselected uninitialized read at i == 0 is discarded by the select)
+        gf = g.astype(jnp.float32).reshape(gref.shape[2:])
+        gref[0, 0] = jnp.where(i == 0, gf, gref[0, 0] + gf)
+
+    # The block backward runs as TWO passes over the micro-chunks — MLP
+    # half first (storing the intermediate cotangent dx1 in the dyacc
+    # scratch), then the attention half, which REMATERIALIZES its forward
+    # from the saved block input.  A single jax.vjp over the whole block
+    # keeps every intermediate (qkv, all heads' probs, the FF hidden, and
+    # their transposes) live at once — 152 MB of Mosaic register spills at
+    # mc=4, which cannot compile on a 128 MB-VMEM chip.  Two loop bodies
+    # bound the peak at max(attn-VJP, MLP-VJP) liveness instead of their
+    # sum, and CSE cannot merge the attention recompute across loop
+    # boundaries (an in-body recompute gets CSE'd back into one program —
+    # measured: identical spill totals).  Cost: one extra attention
+    # forward per block (~+12% trunk FLOPs), well inside the MXU headroom.
+    def mlp_step(i, carry):
+        xs = saved_ref[0, pl.ds(i * mc, mc)]
+        dys = dyacc_ref[pl.ds(i * mc, mc)]
         masks = (
             _gen_drop_masks(seed_ref, l, c, i, mc, N, D, F, nhead, dropout_rate)
             if dropout_rate > 0.0 else None
         )
 
-        def blk(xx, *ws):
-            return _block_chunk(
-                xx, ws, kb, nhead=nhead, act_bf16=act_bf16, eps=eps,
-                activation=activation, drop_masks=masks,
+        x1 = _attn_residual(
+            xs, w_attn, _kb(i), nhead=nhead, act_bf16=act_bf16, eps=eps,
+            drop_masks=None if masks is None else masks[:2],
+        )
+
+        def f_mlp(xx, *ws):
+            return _mlp_residual(
+                xx, ws, act_bf16=act_bf16, eps=eps, activation=activation,
+                drop_masks=None if masks is None else masks[2:],
             )
 
-        _, vjp_fn = jax.vjp(blk, xs, *weights)
-        grads = vjp_fn(dys)
-        dyacc_ref[pl.ds(i * mc, mc)] = grads[0]
-        # accumulate this batch chunk's weight grads in f32; out blocks are
-        # per-(chunk, layer), initialized at the first micro-chunk (the
-        # unselected uninitialized read at i == 0 is discarded by the select)
-        for gref, g in zip(grefs, grads[1:]):
-            gf = g.astype(jnp.float32).reshape(gref.shape[2:])
-            gref[0, 0] = jnp.where(i == 0, gf, gref[0, 0] + gf)
+        _, vjp_mlp = jax.vjp(f_mlp, x1, *w_mlp)
+        g_mlp = vjp_mlp(dys)
+        dyacc_ref[pl.ds(i * mc, mc)] = g_mlp[0]
+        for k, g in zip(range(6, 12), g_mlp[1:7]):
+            _accum(grefs[k], g, i)
+        if n_keys > 12:
+            _accum(grefs[13], g_mlp[7], i)
         return carry
 
-    jax.lax.fori_loop(0, n_mc, step, None)
+    def attn_step(i, carry):
+        xs = saved_ref[0, pl.ds(i * mc, mc)]
+        dx1 = dyacc_ref[pl.ds(i * mc, mc)]
+        # regenerate the forward's dropout masks bit-identically: the
+        # attention masks are the FIRST draws in the (seed, l, c, i)
+        # stream, so drawing only them matches the forward's sequence
+        masks = (
+            _gen_drop_masks(
+                seed_ref, l, c, i, mc, N, D, F, nhead, dropout_rate,
+                only_attn=True,
+            )
+            if dropout_rate > 0.0 else None
+        )
+
+        def f_attn(xx, *ws):
+            return _attn_residual(
+                xx, ws, _kb(i), nhead=nhead, act_bf16=act_bf16, eps=eps,
+                drop_masks=masks,
+            )
+
+        _, vjp_attn = jax.vjp(f_attn, xs, *w_attn)
+        g_attn = vjp_attn(dx1)
+        dyacc_ref[pl.ds(i * mc, mc)] = g_attn[0]
+        for k, g in zip(range(0, 6), g_attn[1:7]):
+            _accum(grefs[k], g, i)
+        if n_keys > 12:
+            _accum(grefs[12], g_attn[7], i)
+        return carry
+
+    jax.lax.fori_loop(0, n_mc, mlp_step, None)
+    jax.lax.fori_loop(0, n_mc, attn_step, None)
 
     @pl.when(l_rev == pl.num_programs(1) - 1)
     def _():
