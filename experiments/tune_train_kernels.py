@@ -13,15 +13,24 @@ Usage:  python experiments/tune_train_kernels.py [vit|denoiser|both]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# runnable as a plain script from any cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 R_VIT = 3
 R_DEN = 8
 WARMUP = 1
 REPEATS = 3
+
+# keep the grid small: each config is a fresh Mosaic compile, and compiles
+# go through the remote tunnel (minutes each on a cache miss)
+VIT_GRID = ((8, 2), (8, 4), (16, 4), (16, 8))
+DEN_GRID = ((128, 16), (128, 32), (256, 32), (512, 32))
 
 
 def _timed(fn, *args, r=1):
@@ -56,10 +65,7 @@ def tune_vit(act_bf16=True):
     bias = jnp.zeros((N, N), jnp.float32)
 
     results = {}
-    for bchunk in (8, 16, 32):
-        for mc in (2, 4, 8):
-            if bchunk % mc:
-                continue
+    for bchunk, mc in VIT_GRID:
             tag = f"vit_b{bchunk}_mc{mc}"
             try:
                 @jax.jit
@@ -106,10 +112,7 @@ def tune_denoiser(act_bf16=True, dropout=0.1):
     seed = jnp.zeros((1,), jnp.int32)
 
     results = {}
-    for bchunk in (128, 256, 512):
-        for mc in (16, 32, 64):
-            if bchunk % mc:
-                continue
+    for bchunk, mc in DEN_GRID:
             tag = f"den_b{bchunk}_mc{mc}"
             try:
                 @jax.jit
@@ -144,3 +147,12 @@ if __name__ == "__main__":
     if which in ("denoiser", "both"):
         out.update(tune_denoiser())
     print(json.dumps(out, indent=1))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tune_train_kernels.json")
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update(out)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1)
+    print("wrote", path)

@@ -1,8 +1,10 @@
 """Train-path fused ViT trunk: primal + gradient parity vs the Flax blocks.
 
 Runs the Pallas kernels in interpret mode so the full custom-VJP path
-(forward kernel with saved block inputs, backward kernel with in-kernel
-jax.vjp remat, partial weight-grad reduction) is exercised on CPU.
+(forward kernel with saved block inputs, backward kernel with remat +
+HAND-DERIVED block VJPs, partial weight-grad reduction) is exercised on
+CPU — every gradient here is pinned against jax.grad through the Flax
+blocks, so an algebra error in the hand-derived backward cannot pass.
 """
 
 import jax
