@@ -77,9 +77,9 @@ class PoseDiffusionConfig:
     fused_train_denoiser: bool = True
     # Train-kernel tile knobs (see experiments/tune_train_kernels.py): the
     # batch chunk resident in VMEM across layers and the micro-chunk per
-    # in-kernel vjp.  Larger mc = bigger MXU tiles but more vjp residual
-    # VMEM (scales with token_count^2 for attention probs — lower mc for
-    # 336px inputs).
+    # hand-derived block backward.  Larger mc = bigger MXU tiles but more
+    # backward working-set VMEM (scales with token_count^2 for attention
+    # probs — lower mc for 336px inputs).
     vit_train_bchunk: int = 16
     vit_train_mc: int = 4
     denoiser_train_bchunk: int = 256
@@ -230,12 +230,45 @@ class PoseDiffusionModel:
         fused_ok = interpret or (
             fused_train and jax.devices()[0].platform not in ("cpu",)
         )
+        c = self.config
         fused_extract = (
             fused_ok
-            and self.config.fused_train_extractor
-            and self.config.modelname.startswith(("dino_vit", "dinov2"))
+            and c.fused_train_extractor
+            and c.modelname.startswith(("dino_vit", "dinov2"))
         )
-        fused_denoiser = fused_ok and self.config.fused_train_denoiser
+        fused_denoiser = fused_ok and c.fused_train_denoiser
+        # Compile-probe each kernel once per shape/knob configuration and
+        # fall back to the Flax trunks on failure (warning, not crash):
+        # a Mosaic VMEM overflow must never take down train.py.  See
+        # ops/train_probe.py; POSEDIFFUSION_FUSED_TRAIN_PROBE=on skips.
+        if fused_extract and not interpret:
+            from posediffusion_tpu.ops.train_probe import (
+                packed_token_count,
+                vit_train_kernel_ok,
+            )
+
+            is_v2 = "dinov2" in c.modelname
+            ps = 14 if is_v2 else c.patch_size
+            n_tok = packed_token_count(
+                int(images.shape[-2]), int(images.shape[-1]),
+                c.scale_factors, ps,
+            )
+            fused_extract = vit_train_kernel_ok(
+                n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
+                c.vit_train_bchunk, c.vit_train_mc,
+                c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
+            )
+        if fused_denoiser and not interpret:
+            from posediffusion_tpu.ops.train_probe import (
+                encoder_train_kernel_ok,
+            )
+
+            fused_denoiser = encoder_train_kernel_ok(
+                int(pose_encodings.shape[1]), c.d_model, c.dim_feedforward,
+                c.nhead, c.denoiser_train_bchunk, c.denoiser_train_mc,
+                c.denoiser_dtype == "bfloat16",
+                c.dropout if train else 0.0, c.denoiser_dtype,
+            )
         z = self.extract_features(
             params, images, fused_train=fused_extract, interpret=interpret
         )

@@ -11,7 +11,7 @@ their sharding) can be FSDP-sharded via parallel.mesh.param_shardings.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -243,6 +243,75 @@ class TestTrainStep:
                 np.asarray(a), np.asarray(b), atol=2e-6
             )
 
+    def test_broken_fused_kernel_falls_back_to_flax(self, rng, monkeypatch):
+        """A fused-train kernel that fails to compile must NEVER take down
+        the train step: the compile probe (ops/train_probe.py) catches the
+        failure and routes to the Flax trunks.  Simulated here by faking a
+        TPU platform (so the fused gate engages) with the probe's `fail`
+        test hook (so both probes report a broken kernel)."""
+        from unittest import mock
+
+        from posediffusion_tpu.ops import train_probe
+
+        train_probe.vit_train_kernel_ok.cache_clear()
+        train_probe.encoder_train_kernel_ok.cache_clear()
+        monkeypatch.setenv("POSEDIFFUSION_FUSED_TRAIN_PROBE", "fail")
+        # the Flax trunks' (working) Pallas attention would also engage
+        # under the faked platform; pin it to XLA so the test runs on CPU
+        monkeypatch.setenv("POSEDIFFUSION_ATTN_IMPL", "xla")
+
+        model = tiny_model()
+        params = model.init(jax.random.PRNGKey(0), image_hw=(32, 32))
+        batch = make_batch(rng, B=2, N=3)
+
+        class _FakeTpu:
+            platform = "tpu"
+
+        real_devices = jax.devices
+
+        def fake_devices(*args):
+            if args:  # backend-specific queries keep working
+                return real_devices(*args)
+            return [_FakeTpu()]
+
+        with mock.patch.object(jax, "devices", fake_devices), \
+                pytest.warns(UserWarning, match="falling back"):
+            # eager (unjitted) loss: if the gate wrongly engaged the fused
+            # path, the CPU pallas_call would raise here
+            out = model.loss(
+                params, batch["images"], batch["pose_encodings"],
+                jax.random.PRNGKey(1), train=True, fused_train=True,
+            )
+        assert np.isfinite(float(jnp.mean(out.loss)))
+        train_probe.vit_train_kernel_ok.cache_clear()
+        train_probe.encoder_train_kernel_ok.cache_clear()
+
+    def test_probe_executes_eagerly_under_jit_trace(self):
+        """The probe is consulted at trace time of the jitted train step.
+        _run_probe must escape the ambient trace (it probes on a fresh
+        thread — JAX trace state is thread-local; ensure_compile_time_eval
+        can't be used because pallas primitives have no eval rule):
+        without it, the probe's own jitted evaluation is inlined into the
+        outer trace, float(v) sees a tracer, and the resulting
+        ConcretizationTypeError is misread as a kernel failure — silently
+        benching a HEALTHY kernel (regression: first on-TPU bench_train run
+        fell back to the Flax trunk this way)."""
+        from posediffusion_tpu.ops.train_probe import _run_probe
+
+        def build():
+            x = jnp.arange(8.0)
+            return x, lambda xx: jnp.sum(xx * xx)
+
+        results = []
+
+        @jax.jit
+        def outer(y):
+            results.append(_run_probe(build, "trivial-under-trace"))
+            return y * 2.0
+
+        outer(jnp.ones(3))
+        assert results == [True]
+
     def test_shard_map_dp_step_runs_and_replicates(self, rng):
         """Explicit shard_map DP step (the path that scales Pallas kernels
         across chips — GSPMD cannot partition a pallas_call)."""
