@@ -28,6 +28,10 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+# full-scale twins: minutes of wall-clock; excluded from the default
+# run by pytest.ini addopts, executed via `pytest -m nightly`
+pytestmark = pytest.mark.nightly
 import torch.nn as tnn
 import torch.nn.functional as tF
 

@@ -8,6 +8,10 @@ import pytest
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
+
+# full-scale twins: minutes of wall-clock; excluded from the default
+# run by pytest.ini addopts, executed via `pytest -m nightly`
+pytestmark = pytest.mark.nightly
 import torch.nn as tnn
 
 from posediffusion_tpu.matching import convert_superglue
