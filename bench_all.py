@@ -43,6 +43,20 @@ def main():
             continue
         rec = json.loads(line)
         rec.update(script=script, label=label)
+        # provenance: what produced this number, where, when (VERDICT r3:
+        # perf artifacts must not outlive the code they measured)
+        import datetime
+        import subprocess as sp
+
+        rev = sp.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        rec["provenance"] = {
+            "git_rev": rev or "unknown",
+            "date": datetime.date.today().isoformat(),
+            "device": "TPU v5e (1 chip, axon relay)",
+        }
         rows.append(rec)
         print(f"  {rec['metric']}: {rec['value']:.6g} {rec['unit']} "
               f"(vs_baseline {rec['vs_baseline']:.4g})", flush=True)
