@@ -109,5 +109,134 @@ def main(dense: bool = False):
     )
 
 
+def parity():
+    """On-device correctness assert for the fused SuperGlue kernel (VERDICT
+    r3 #4): match the same C pairs at production keypoint density through
+    BOTH the Mosaic-compiled fused kernel (ops/superglue_kernel.py) and the
+    batched XLA matcher (matching.superglue.match_pairs_batched_xla) on the
+    same chip, with released-layout weights through the converter.  The two
+    paths order their reductions differently, so borderline matches near
+    the mutual-check / threshold boundary may legitimately flip; asserts
+    (a) >= 99% of match indices agree and (b) scores on agreeing matched
+    entries are close.  Prints one JSON line; exits nonzero on failure."""
+    from posediffusion_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from posediffusion_tpu.matching import convert_superglue
+    from posediffusion_tpu.matching.superglue import (
+        encode_keypoints,
+        match_pairs_batched_xla,
+    )
+    from posediffusion_tpu.ops.superglue_kernel import (
+        fused_match_pairs,
+        stack_superglue_params,
+    )
+
+    rng = np.random.default_rng(0)
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
+    from test_matching import random_superglue_sd
+
+    params = convert_superglue(random_superglue_sd(rng))
+
+    K, C, n_frames = 1024, 16, 8  # the demo-path density at 224px
+    hw = np.tile((IMAGE_SIZE, IMAGE_SIZE), (n_frames, 1))
+    # all frames observe the SAME underlying landmarks with small per-frame
+    # keypoint/descriptor noise, so a real co-visibility structure exists and
+    # the matchers produce actual matches (a fully-random input yields zero
+    # matches past the 0.2 threshold, which would make this parity vacuous)
+    base_kpts = rng.uniform(8, IMAGE_SIZE - 8, size=(K, 2)).astype(np.float32)
+    base_desc = rng.normal(size=(K, 256)).astype(np.float32)
+    kpts = (
+        base_kpts[None]
+        + rng.normal(scale=1.0, size=(n_frames, K, 2)).astype(np.float32)
+    )
+    scores = np.clip(
+        rng.uniform(0.4, 0.9, size=(K,))[None]
+        + rng.normal(scale=0.02, size=(n_frames, K)),
+        0.0,
+        1.0,
+    ).astype(np.float32)
+    desc = (
+        base_desc[None]
+        + rng.normal(scale=0.05, size=(n_frames, K, 256)).astype(np.float32)
+    )
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    # ragged detection counts like real SuperPoint output
+    counts = rng.integers(K // 2, K + 1, size=n_frames)
+    mask = np.arange(K)[None] < counts[:, None]
+
+    x = encode_keypoints(
+        params, jnp.asarray(desc), jnp.asarray(kpts), jnp.asarray(scores), hw
+    )
+    pairs = [(a, b) for a in range(n_frames) for b in range(a + 1, n_frames)]
+    pairs = pairs[:C]
+    xp = jnp.stack([jnp.stack([x[a], x[b]]) for a, b in pairs])
+    m0 = jnp.asarray(np.stack([mask[a] for a, _ in pairs]))
+    m1 = jnp.asarray(np.stack([mask[b] for _, b in pairs]))
+    stacks = stack_superglue_params(params)
+
+    ok = True
+    # thr=0.2 is the production threshold: with converter-layout random
+    # weights its score mass stays below 0.2, so it checks that BOTH paths
+    # agree nothing passes the threshold/mutual-check boundary.  thr=0.0
+    # (pure mutual-NN) is the non-vacuous case: >10k real matches whose
+    # indices and scores must agree.
+    for thr in (0.2, 0.0):
+        m_f, s_f = jax.jit(
+            lambda *a: fused_match_pairs(
+                *a, sinkhorn_iters=50, match_threshold=thr
+            )
+        )(xp, m0, m1, stacks)
+        m_x, s_x = jax.jit(
+            lambda *a: match_pairs_batched_xla(
+                *a, sinkhorn_iterations=50, match_threshold=thr
+            )
+        )(xp, m0, m1, stacks)
+        m_f, s_f, m_x, s_x = map(np.asarray, (m_f, s_f, m_x, s_x))
+
+        valid = np.asarray(m0)
+        agree = float(np.mean((m_f == m_x)[valid]))
+        both = valid & (m_f == m_x) & (m_f >= 0)
+        sdiff = float(np.max(np.abs(s_f - s_x)[both])) if both.any() else 0.0
+        n_match = int((m_f[valid] >= 0).sum())
+        out = {
+            "metric": "superglue_fused_vs_xla_on_device",
+            "match_threshold": thr,
+            "pairs": len(pairs),
+            "keypoints": K,
+            "matched": n_match,
+            "index_agreement": agree,
+            "max_score_diff_on_agreeing": sdiff,
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(out))
+        # non-vacuity: the forced-match case must produce real matches so
+        # index/score parity is exercised on actual assignments
+        min_matched = len(pairs) * 32 if thr == 0.0 else 0
+        if n_match < min_matched:
+            print(
+                f"FAIL: only {n_match} matches (< {min_matched}) at "
+                f"thr={thr}; parity would be vacuous"
+            )
+            ok = False
+        if agree < 0.99:
+            print(f"FAIL: fused vs XLA match indices diverged: {agree}")
+            ok = False
+        if sdiff >= 1e-2:
+            print(f"FAIL: fused vs XLA match scores diverged: {sdiff}")
+            ok = False
+    if not ok:
+        sys.exit(1)
+    print("MATCHING PARITY OK")
+
+
 if __name__ == "__main__":
-    main(dense="--dense" in sys.argv)
+    if "--parity" in sys.argv:
+        parity()
+    else:
+        main(dense="--dense" in sys.argv)

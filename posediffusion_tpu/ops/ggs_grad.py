@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,8 +32,20 @@ from posediffusion_tpu.geometry.pose_codec import LOG_FL_BIAS, MAX_FL, MIN_FL
 
 
 def _mm(a, b):
-    """Matmul with explicit f32 accumulation (Pallas-safe)."""
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    """Matmul with full f32 precision (Pallas-safe).
+
+    ``precision=HIGHEST`` matters, not just the accumulator dtype: these
+    matmuls are one-hot frame gathers (B1/B2 selectors against per-frame
+    R/t tables), and the MXU's default bf16 input truncation injects ~1e-3
+    relative error into every gathered rotation — which the GGS momentum
+    loop then amplifies into a visibly worse optimum than the ``@highp``
+    XLA autodiff path (measured on v5e: sampson 0.61 fused vs 0.11 XLA
+    after 100 iters before this pin)."""
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 class GroupedMatches(NamedTuple):
