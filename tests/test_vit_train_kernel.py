@@ -367,3 +367,87 @@ class TestFusedVitTrunkTrain:
             np.asarray(jax.grad(packed)(x)), np.asarray(jax.grad(split)(x)),
             atol=2e-5,
         )
+
+
+class TestDropMaskStreamContract:
+    """CPU guard for the dropout draw-order contract.
+
+    The encoder-trunk backward regenerates the forward's dropout masks by
+    re-seeding the in-kernel PRNG and drawing only the LEADING sites of
+    the stream (``only_attn=True``), so the attention sites must stay
+    first in ``_DROP_SITES`` and nothing may draw before them.  The
+    executed on-chip guard is the TPU smoke's finite-difference check
+    (experiments/tpu_smoke_train_kernels.py); this pins the same contract
+    on CPU — where prng_seed has no lowering — by substituting the Mosaic
+    PRNG primitives with a deterministic *sequential* stub.  Like the real
+    hardware PRNG, the stub's output is a pure function of the seeded
+    state and the draw order, so any reordering of ``_DROP_SITES`` or a
+    new draw site inserted ahead of the attention masks breaks the
+    bit-identity assertion here without needing a chip.
+    """
+
+    def _stub_prng(self, monkeypatch):
+        from posediffusion_tpu.ops import vit_train_kernel as k
+
+        state = {}
+
+        def prng_seed(*scalars):
+            state["gen"] = np.random.Generator(
+                np.random.Philox(key=[int(s) & 0xFFFFFFFF for s in scalars])
+            )
+
+        def prng_random_bits(shape):
+            return jnp.asarray(
+                state["gen"].integers(0, 1 << 32, size=shape, dtype=np.uint32)
+            )
+
+        monkeypatch.setattr(k.pltpu, "prng_seed", prng_seed)
+        monkeypatch.setattr(k.pltpu, "prng_random_bits", prng_random_bits)
+        return k
+
+    def test_only_attn_draws_match_leading_full_draws(self, monkeypatch):
+        k = self._stub_prng(monkeypatch)
+        seed_ref = np.array([7], np.int32)
+        shape_args = dict(mc=2, N=4, D=8, F=16, nhead=2, rate=0.1)
+        full = k._gen_drop_masks(seed_ref, 3, **shape_args)
+        attn = k._gen_drop_masks(seed_ref, 3, **shape_args, only_attn=True)
+        assert len(full) == len(k._DROP_SITES)
+        assert len(attn) == k._ATTN_SITES
+        for a, f in zip(attn, full):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(f))
+        # the backward's mask routing slices at position 2
+        # (vit_train_kernel.py `masks[:2]` / `masks[2:]`): pin the split
+        assert k._ATTN_SITES == 2
+        assert k._DROP_SITES[:2] == ("attn", "m1")
+
+    def test_masks_are_inverted_dropout_and_stream_sensitive(
+        self, monkeypatch
+    ):
+        k = self._stub_prng(monkeypatch)
+        seed_ref = np.array([7], np.int32)
+        rate = 0.25
+        m = k._gen_drop_masks(seed_ref, 0, 2, 4, 8, 16, 2, rate)
+        for mask in m:
+            vals = np.unique(np.asarray(mask))
+            assert set(vals).issubset({0.0, np.float32(1.0 / (1.0 - rate))})
+        m2 = k._gen_drop_masks(seed_ref, 1, 2, 4, 8, 16, 2, rate)
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(m, m2)
+        )
+        # same (seed, stream) -> bit-identical (determinism)
+        m3 = k._gen_drop_masks(seed_ref, 0, 2, 4, 8, 16, 2, rate)
+        for a, b in zip(m, m3):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_drop_stream_injective_over_grid(self):
+        from posediffusion_tpu.ops.vit_train_kernel import _drop_stream
+
+        L, n_c, n_mc = 8, 23, 16
+        seen = {
+            _drop_stream(l, c, i, n_c, n_mc)
+            for l in range(L)
+            for c in range(n_c)
+            for i in range(n_mc)
+        }
+        assert len(seen) == L * n_c * n_mc
