@@ -38,6 +38,7 @@ tests/test_sampler_kernel.py (interpret mode, f32 weights, same PRNG key).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -63,16 +64,24 @@ def _sampler_kernel(
     w0_ref, b0_ref, gh_ref, bh_ref, w1_ref, b1h_ref,
     # per-step inputs
     tc_ref, sc_ref, nz_ref,
-    # per-layer trunk weights
+    # trunk weights: resident full (L, ...) stacks when resident_weights,
+    # else per-layer (1, ...) streamed blocks
     g1_ref, b1_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     g2_ref, b2_ref, wl1_ref, bl1_ref, wl2_ref, bl2_ref,
     # output + scratch
     out_ref, x_vm, acc_vm,
-    *, nhead: int, d_model: int,
+    *, nhead: int, d_model: int, resident_weights: bool,
 ):
     t = pl.program_id(0)
     s = pl.program_id(1)
     n_layers = pl.num_programs(1)
+    # Resident mode: the weight windows are the whole (L, ...) stacks with a
+    # constant index map — Mosaic DMAs them into VMEM ONCE for the entire
+    # T x L grid and layer s reads ref[s]; streaming mode re-fetches layer
+    # s's block every step (index map (t, s) -> s changes T times per
+    # layer), which re-reads all trunk weights from HBM each of the T steps
+    # — the dominant HBM traffic of this weight-bound kernel.
+    li = s if resident_weights else 0
 
     @pl.when((t == 0) & (s == 0))
     def _():
@@ -95,9 +104,9 @@ def _sampler_kernel(
     # ---- trunk layer s
     x = encoder_layer_math(
         acc_vm[:], maskb_ref[0],
-        g1_ref[0, 0], b1_ref[0, 0], wqkv_ref[0], bqkv_ref[0, 0],
-        wout_ref[0], bout_ref[0, 0], g2_ref[0, 0], b2_ref[0, 0],
-        wl1_ref[0], bl1_ref[0, 0], wl2_ref[0], bl2_ref[0, 0],
+        g1_ref[li, 0], b1_ref[li, 0], wqkv_ref[li], bqkv_ref[li, 0],
+        wout_ref[li], bout_ref[li, 0], g2_ref[li, 0], b2_ref[li, 0],
+        wl1_ref[li], bl1_ref[li, 0], wl2_ref[li], bl2_ref[li, 0],
         nhead=nhead, d_model=d_model,
     )
     acc_vm[:] = x
@@ -298,7 +307,25 @@ def fused_sample_loop(
         )
 
     dff = stacks["wl1"].shape[-1]
-    kernel = functools.partial(_sampler_kernel, nhead=nhead, d_model=d_model)
+    # Keep the WHOLE trunk weight stack resident in VMEM when it fits
+    # (reference scale: ~34 MB bf16 for 8 x 512-wide layers): the weights
+    # are then DMA'd from HBM once instead of once per step, removing the
+    # T x redundant re-streaming that dominates this weight-bound kernel's
+    # runtime.  Oversized configs fall back to per-layer streaming.
+    trunk_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                      for v in stacks.values())
+    _mode = os.environ.get("POSEDIFFUSION_SAMPLER_WEIGHTS", "auto")
+    resident_weights = (
+        trunk_bytes <= 80 * 2**20 if _mode == "auto" else _mode == "resident"
+    )
+    trunk_spec = (
+        (lambda shape: resident((L,) + shape)) if resident_weights
+        else per_layer
+    )
+    kernel = functools.partial(
+        _sampler_kernel, nhead=nhead, d_model=d_model,
+        resident_weights=resident_weights,
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((N_pad, _XD), jnp.float32),
@@ -320,18 +347,18 @@ def fused_sample_loop(
             per_step((1, d_model)),      # tc
             per_step((1, 128)),          # sc
             per_step((N_pad, _XD)),      # noise
-            per_layer((1, d_model)),     # g1
-            per_layer((1, d_model)),     # b1 (norm)
-            per_layer((d_model, 3 * d_model)),  # wqkv
-            per_layer((1, 3 * d_model)),        # bqkv
-            per_layer((d_model, d_model)),      # wout
-            per_layer((1, d_model)),            # bout
-            per_layer((1, d_model)),            # g2
-            per_layer((1, d_model)),            # b2
-            per_layer((d_model, dff)),          # wl1
-            per_layer((1, dff)),                # bl1
-            per_layer((dff, d_model)),          # wl2
-            per_layer((1, d_model)),            # bl2
+            trunk_spec((1, d_model)),     # g1
+            trunk_spec((1, d_model)),     # b1 (norm)
+            trunk_spec((d_model, 3 * d_model)),  # wqkv
+            trunk_spec((1, 3 * d_model)),        # bqkv
+            trunk_spec((d_model, d_model)),      # wout
+            trunk_spec((1, d_model)),            # bout
+            trunk_spec((1, d_model)),            # g2
+            trunk_spec((1, d_model)),            # b2
+            trunk_spec((d_model, dff)),          # wl1
+            trunk_spec((1, dff)),                # bl1
+            trunk_spec((dff, d_model)),          # wl2
+            trunk_spec((1, d_model)),            # bl2
         ],
         out_specs=pl.BlockSpec(
             (N_pad, _XD), lambda t, s: (0, 0), memory_space=pltpu.VMEM

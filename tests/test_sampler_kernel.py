@@ -105,3 +105,20 @@ class TestFusedSampleLoop:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-4
         )
+
+    def test_resident_and_streamed_weights_identical(self, rng, monkeypatch):
+        """The VMEM-resident trunk-weight mode (whole (L, ...) stacks DMA'd
+        once) must be bit-compatible with per-layer streaming — same math,
+        different HBM traffic schedule."""
+        den, params, z, schedule = tiny_setup(rng)
+        key = jax.random.PRNGKey(5)
+        outs = {}
+        for mode in ("resident", "streamed"):
+            monkeypatch.setenv("POSEDIFFUSION_SAMPLER_WEIGHTS", mode)
+            out, _ = fused_sample_loop(
+                params, schedule, z, key,
+                nhead=2, num_encoder_layers=2,
+                weight_dtype=jnp.float32, rng_chain=True, interpret=True,
+            )
+            outs[mode] = np.asarray(out)
+        np.testing.assert_array_equal(outs["resident"], outs["streamed"])
