@@ -9,8 +9,14 @@ The workload is the full demo-path inference: 20 frames at 224px through the
 multiscale DINO ViT-S/16 extractor + 100-step DDPM sampling with the 8-layer
 denoiser, all inside one jitted program.  Weights are randomly initialized —
 latency is weight-independent.
+
+Variants (first-class regeneration flags for every README perf row):
+    python bench.py                      # default: 100-step DDPM @224px
+    python bench.py --ddim 10            # DDIM with 10 steps
+    python bench.py --image-size 336     # Re10K-checkpoint input scale
 """
 
+import argparse
 import json
 import time
 
@@ -20,23 +26,30 @@ import numpy as np
 
 BASELINE_SECONDS = 0.8
 N_FRAMES = 20
-IMAGE_SIZE = 224
 WARMUP = 2
 REPEATS = 5
 
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ddim", type=int, default=None, metavar="STEPS",
+                    help="use DDIM with this many steps (default: 100-step DDPM)")
+    ap.add_argument("--image-size", type=int, default=224,
+                    help="input resolution (default 224; Re10K scale is 336)")
+    args = ap.parse_args()
+    ddim, image_size = args.ddim, args.image_size
+
     from posediffusion_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
 
     model = PoseDiffusionModel(PoseDiffusionConfig())
-    params = model.init(jax.random.PRNGKey(0), image_hw=(IMAGE_SIZE, IMAGE_SIZE))
+    params = model.init(jax.random.PRNGKey(0), image_hw=(image_size, image_size))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.uniform(size=(1, N_FRAMES, 3, IMAGE_SIZE, IMAGE_SIZE)).astype(np.float32)
+        rng.uniform(size=(1, N_FRAMES, 3, image_size, image_size)).astype(np.float32)
     )
 
     # R sequential end-to-end inferences inside ONE device program: host<->

@@ -97,6 +97,18 @@ class PoseDiffusionConfig:
     loss_type: str = "l1"
 
 
+def _batched_step_ok(c: "PoseDiffusionConfig", N: int) -> bool:
+    """Probe gate for the batched (B > 1) eval sampler's per-step fused
+    encoder trunk (256/32 are denoiser_train_apply's default bchunk/mc,
+    which that call path uses)."""
+    from posediffusion_tpu.ops.train_probe import encoder_train_kernel_ok
+
+    return encoder_train_kernel_ok(
+        int(N), c.d_model, c.dim_feedforward, c.nhead, 256, 32,
+        c.denoiser_dtype == "bfloat16", 0.0, c.denoiser_dtype,
+    )
+
+
 class PoseDiffusionModel:
     """Module definitions + schedule; parameters are explicit pytrees."""
 
@@ -352,12 +364,33 @@ class PoseDiffusionModel:
         ``sampling_timesteps`` < num_timesteps switches to DDIM with that
         many steps (deterministic for eta=0).
         """
+        import os
+
+        c = self.config
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
         fused_extract = (
-            self.config.fused_sampler
-            and self.config.modelname.startswith("dino_vit")
-            and self.config.compute_dtype == "float32"
-            and jax.devices()[0].platform not in ("cpu",)
+            c.fused_sampler
+            and c.modelname.startswith("dino_vit")
+            and c.compute_dtype == "float32"
+            and on_tpu
         )
+        # Compile-probe each inference kernel once per shape/knob
+        # configuration and fall back to the Flax/scan path on failure
+        # (warning, not crash): a Mosaic VMEM overflow must never take down
+        # demo.py / test.py / bench.py.  Mirrors the train path's
+        # ops/train_probe.py guard; see ops/sample_probe.py.
+        if fused_extract:
+            from posediffusion_tpu.ops.sample_probe import vit_infer_kernel_ok
+            from posediffusion_tpu.ops.train_probe import packed_token_count
+
+            n_tok = packed_token_count(
+                int(images.shape[-2]), int(images.shape[-1]),
+                c.scale_factors, c.patch_size,
+            )
+            fused_extract = vit_infer_kernel_ok(
+                int(images.shape[0] * images.shape[1]), n_tok, c.z_dim,
+                4 * c.z_dim, c.vit_heads, 4, False,
+            )
         z = self.extract_features(params, images, fused=fused_extract)
         B, N = z.shape[:2]
 
@@ -375,8 +408,18 @@ class PoseDiffusionModel:
             self.config.fused_sampler
             and B == 1
             and self.config.denoiser_dtype == "float32"
-            and jax.devices()[0].platform not in ("cpu",)
+            and on_tpu
         )
+        if use_fused:
+            from posediffusion_tpu.ops.sample_probe import (
+                denoiser_step_kernel_ok,
+            )
+
+            use_fused = denoiser_step_kernel_ok(
+                int(N), c.d_model, c.dim_feedforward, c.mlp_hidden_dim,
+                c.nhead, c.num_encoder_layers, c.target_dim, 10, c.z_dim,
+                c.pivot_cam_onehot,
+            )
         if use_fused:
             from posediffusion_tpu.models.denoiser import denoiser_apply_fused
 
@@ -387,19 +430,15 @@ class PoseDiffusionModel:
                     num_encoder_layers=self.config.num_encoder_layers,
                     pivot_cam_onehot=self.config.pivot_cam_onehot,
                 )
-        elif (
-            self.config.fused_sampler
-            and jax.devices()[0].platform not in ("cpu",)
-        ):
+        elif self.config.fused_sampler and on_tpu and _batched_step_ok(c, N):
             # Batched sampling (B > 1, e.g. the in-training eval loop):
             # the whole-loop kernel is single-sequence, but the per-step
             # denoiser trunk can still run as ONE Pallas launch per step
             # via the train-path encoder kernel (dropout 0, forward only)
             # instead of the ~50 XLA fusions the Flax trunk dispatches
-            # inside the 100-step scan.
+            # inside the 100-step scan.  (256/32 are denoiser_train_apply's
+            # default bchunk/mc, which this call path uses.)
             from posediffusion_tpu.models.denoiser import denoiser_train_apply
-
-            c = self.config
 
             def model_fn(x, tt):
                 return denoiser_train_apply(
@@ -431,8 +470,17 @@ class PoseDiffusionModel:
                 or sampling_timesteps >= self.schedule.num_timesteps
             )
             and self.config.mlp_hidden_dim == 128
-            and jax.devices()[0].platform not in ("cpu",)
+            and on_tpu
         )
+        if use_fused_loop:
+            from posediffusion_tpu.ops.sample_probe import sampler_loop_ok
+
+            use_fused_loop = sampler_loop_ok(
+                int(N), c.d_model, c.dim_feedforward, c.mlp_hidden_dim,
+                c.nhead, c.num_encoder_layers, c.target_dim, 10, c.z_dim,
+                c.pivot_cam_onehot, self.schedule.num_timesteps,
+                os.environ.get("POSEDIFFUSION_SAMPLER_WEIGHTS", "auto"),
+            )
         if use_fused_loop:
             from posediffusion_tpu.ops.sampler_kernel import fused_sample_loop
 

@@ -312,11 +312,44 @@ def fused_sample_loop(
     # are then DMA'd from HBM once instead of once per step, removing the
     # T x redundant re-streaming that dominates this weight-bound kernel's
     # runtime.  Oversized configs fall back to per-layer streaming.
+    #
+    # The residency decision is a real VMEM budget, not a magic constant
+    # (round 4 shipped an invented 80 MB threshold with the default 16 MB
+    # Mosaic cap and compile-failed at reference scale — BENCH_r04 rc=1):
+    #   _VMEM_LIMIT  what we ask Mosaic for (v5e has 128 MB physical VMEM;
+    #                the other kernel families in ops/ request 96-100 MB)
+    #   _SCOPED_EST  kernel stack temporaries (qkv / per-head attention /
+    #                FF intermediates inside encoder_layer_math plus the
+    #                dynamically-indexed ref[s] layer-slice copies resident
+    #                mode adds) — measured 20.6 MB at reference scale
+    #                (N_pad=24, d=512); 36 MB covers N_pad up to ~64
+    #   window_bytes every non-trunk VMEM window: resident inputs, the
+    #                double-buffered per-step inputs, output, scratch
     trunk_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
                       for v in stacks.values())
+    _VMEM_LIMIT = 100 * 2**20
+    _SCOPED_EST = 36 * 2**20
+    window_bytes = 4 * (
+        # resident: x0, mask, E, Wsin/Wcos/Wx, zf, head weights (all f32)
+        N_pad * _XD + N_pad + _XD * _XD + 3 * _XD * d_model
+        + N_pad * d_model + d_model * _XD + 4 * _XD + _XD * _XD
+        # per-step, double-buffered: tc, sc, nz
+        + 2 * (d_model + 128 + N_pad * _XD)
+        # output window + scratch (x_vm, acc_vm)
+        + N_pad * _XD + N_pad * _XD + N_pad * d_model
+    )
+    resident_budget = _VMEM_LIMIT - _SCOPED_EST - window_bytes
+    # NOTE: read at TRACE time — a jitted caller bakes in the mode it saw
+    # first; flip the env var before the first call (or clear jit caches).
     _mode = os.environ.get("POSEDIFFUSION_SAMPLER_WEIGHTS", "auto")
+    if _mode not in ("auto", "resident", "streamed"):
+        raise ValueError(
+            "POSEDIFFUSION_SAMPLER_WEIGHTS must be one of "
+            f"'auto'/'resident'/'streamed', got {_mode!r}"
+        )
     resident_weights = (
-        trunk_bytes <= 80 * 2**20 if _mode == "auto" else _mode == "resident"
+        trunk_bytes <= resident_budget if _mode == "auto"
+        else _mode == "resident"
     )
     trunk_spec = (
         (lambda shape: resident((L,) + shape)) if resident_weights
@@ -367,6 +400,13 @@ def fused_sample_loop(
             pltpu.VMEM((N_pad, _XD), jnp.float32),
             pltpu.VMEM((N_pad, d_model), jnp.float32),
         ],
+        # sequential grid (scratch carries x across steps); raise Mosaic's
+        # default ~16 MB scoped-VMEM cap — the kernel stack is ~21 MB at
+        # reference scale (see the residency budget above)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(
         x0p, bias_row[None], E, Wsin, Wcos, Wx, zfp,
