@@ -15,22 +15,25 @@ import subprocess
 import sys
 
 BENCHES = [
-    ("bench.py", "20-frame inference, no GGS"),
-    ("bench_ggs.py", "20-frame inference, with GGS"),
-    ("bench_matching.py", "20-frame match extraction"),
-    ("bench_train.py", "reference-scale train step"),
+    (["bench.py"], "20-frame inference, no GGS"),
+    (["bench.py", "--ddim", "10"], "20-frame inference, DDIM-10, no GGS"),
+    (["bench.py", "--image-size", "336"], "20-frame inference @336px (Re10K)"),
+    (["bench_ggs.py"], "20-frame inference, with GGS"),
+    (["bench_matching.py"], "20-frame match extraction"),
+    (["bench_train.py"], "reference-scale train step"),
 ]
 
 
 def main():
     full = len(sys.argv) > 1 and sys.argv[1] == "full"
     rows = []
-    for script, label in BENCHES:
-        if not full and script == "bench_train.py":
+    for argv, label in BENCHES:
+        script = " ".join(argv)
+        if not full and argv[0] == "bench_train.py":
             continue
         print(f"=== {label} ({script})", flush=True)
         proc = subprocess.run(
-            [sys.executable, script], capture_output=True, text=True
+            [sys.executable, *argv], capture_output=True, text=True
         )
         line = None
         for ln in reversed(proc.stdout.splitlines()):

@@ -81,7 +81,10 @@ class PoseDiffusionConfig:
     # backward working-set VMEM (scales with token_count^2 for attention
     # probs — lower mc for 336px inputs).
     vit_train_bchunk: int = 16
-    vit_train_mc: int = 4
+    # 0 = auto: 8 at bf16 residuals (v5e sweep: 0.2186 s/trunk-step vs
+    # 0.2223 at mc=4, with the save-x1 backward), 4 at f32 (mc=8 overflows
+    # the scoped-VMEM cap there — larger f32 micro-chunk temporaries)
+    vit_train_mc: int = 0
     denoiser_train_bchunk: int = 256
     denoiser_train_mc: int = 32
     # bf16 activations inside the fused ViT trunk on the inference path (the
@@ -95,6 +98,15 @@ class PoseDiffusionConfig:
     beta_schedule: str = "custom"
     objective: str = "pred_noise"
     loss_type: str = "l1"
+
+
+
+def _effective_vit_mc(c: "PoseDiffusionConfig") -> int:
+    """Resolve vit_train_mc=0 (auto) by residual dtype — see the config
+    field comment for the measured rationale."""
+    if c.vit_train_mc:
+        return c.vit_train_mc
+    return 8 if c.compute_dtype == "bfloat16" else 4
 
 
 def _batched_step_ok(c: "PoseDiffusionConfig", N: int) -> bool:
@@ -189,7 +201,7 @@ class PoseDiffusionModel:
                 pos_grid=37 if is_v2 else 14,
                 act_bf16=(c.compute_dtype == "bfloat16"),
                 residual_dtype=jnp.dtype(c.compute_dtype),
-                bchunk=c.vit_train_bchunk, mc=c.vit_train_mc,
+                bchunk=c.vit_train_bchunk, mc=_effective_vit_mc(c),
                 interpret=interpret,
                 layer_scale=is_v2,
             )
@@ -267,7 +279,7 @@ class PoseDiffusionModel:
             )
             fused_extract = vit_train_kernel_ok(
                 n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
-                c.vit_train_bchunk, c.vit_train_mc,
+                c.vit_train_bchunk, _effective_vit_mc(c),
                 c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
             )
         if fused_denoiser and not interpret:

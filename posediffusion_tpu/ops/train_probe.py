@@ -109,8 +109,20 @@ def _run_probe(build_loss, label: str) -> bool:
         # now.  (Inline, the nested jit would be traced into the outer
         # program and float(v) would see a tracer; ensure_compile_time_eval
         # can't help either — pallas primitives have no eval rule.)
-        with concurrent.futures.ThreadPoolExecutor(1) as pool:
-            ok = pool.submit(run_now).result()
+        #
+        # The probe compiles with a REDUCED scoped-VMEM limit: Mosaic's
+        # scoped allocation is not perfectly grid-size independent (round 5
+        # measured a 1.91M delta between the probes' 2x2 grid and the
+        # production 12x8 grid, enough to pass the probe and fail the real
+        # step), so a config must clear the cap with this much headroom to
+        # count as probe-OK.  Env-based so the production compile itself is
+        # unaffected; set only for the blocking probe call below.
+        os.environ["POSEDIFFUSION_TRAIN_VMEM_MARGIN"] = str(6 * 1024 * 1024)
+        try:
+            with concurrent.futures.ThreadPoolExecutor(1) as pool:
+                ok = pool.submit(run_now).result()
+        finally:
+            os.environ.pop("POSEDIFFUSION_TRAIN_VMEM_MARGIN", None)
         if not ok:
             warnings.warn(
                 f"fused train kernel probe ({label}): non-finite output; "

@@ -13,14 +13,22 @@ This module replaces it with TWO kernel launches per trunk per step:
 
 * forward: grid (batch_chunks, layers).  A batch chunk's activations stay
   in VMEM scratch across all layers; per-layer weights stream from HBM.
-  Each block's INPUT is saved to HBM (the only residual — everything else
-  is rematerialized), so activation memory is L x B x N x D at the residual
-  dtype instead of the O(L x B x N x 4D) a no-remat backward would need.
+  Each block saves its INPUT x to HBM and, at bf16 residuals, also the
+  post-attention intermediate x1 (everything else is rematerialized), so
+  activation memory is (1 or 2) x L x B x N x D at the residual dtype
+  instead of the O(L x B x N x 4D) a no-remat backward would need.
+  Saving x1 spares the backward's MLP half a full attention re-forward
+  per block (~48 ms/step at ViT reference scale + ~6 ms on the denoiser)
+  for ~3 ms of extra HBM traffic; f32 residuals opt out
+  (``save_x1=False``) — their twice-as-large saved1 VMEM windows ride
+  over the scoped 118 MB cap at the full production grids
+  (see _save_x1_for).
 * backward: grid (batch_chunks, layers-reversed).  For each (chunk, layer)
-  the block is rematerialized from its saved input and differentiated with
-  a HAND-DERIVED VJP over micro-chunks (closed-form LayerNorm/softmax
-  backward, per-head streaming attention backward); the cotangent dy rides
-  VMEM scratch across layers exactly like the forward activations.
+  the two residual halves are differentiated with HAND-DERIVED VJPs over
+  micro-chunks (closed-form LayerNorm/softmax backward, per-head streaming
+  attention backward): the MLP half from the saved x1, the attention half
+  rematerialized from the saved x; the cotangent dy rides VMEM scratch
+  across layers exactly like the forward activations.
   Per-weight gradients are accumulated in f32 into per-batch-chunk partial
   outputs (Mosaic output blocks must be visited contiguously, which rules
   out cross-chunk accumulation in this grid order); one small XLA
@@ -521,10 +529,15 @@ def _trunk_fwd_kernel(
     x_ref, bias_ref, seed_ref, *rest,
     nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
     dropout_rate: float, bias_rows: bool, layer_scale: bool = False,
+    save_x1: bool = True,
 ):
     keys = _keys(layer_scale)
     n_w = len(keys)
-    wrefs, (saved_ref, y_ref, acc_ref) = rest[:n_w], rest[n_w:]
+    if save_x1:
+        wrefs, (saved_ref, saved1_ref, y_ref, acc_ref) = rest[:n_w], rest[n_w:]
+    else:
+        wrefs, (saved_ref, y_ref, acc_ref) = rest[:n_w], rest[n_w:]
+        saved1_ref = None
     c = pl.program_id(0)
     l = pl.program_id(1)
 
@@ -532,10 +545,14 @@ def _trunk_fwd_kernel(
     def _():
         acc_ref[...] = x_ref[...].astype(acc_ref.dtype)
 
-    # the residual: this block's INPUT (everything else remats in backward)
+    # residuals per block: its INPUT x (for the attention-half backward)
+    # and — when ``save_x1`` — the post-attention intermediate x1 (so the
+    # MLP-half backward does not re-run a full attention forward; see
+    # _trunk_bwd_kernel)
     saved_ref[0] = acc_ref[...]
 
     weights = _read_weights(wrefs, keys)
+    w_attn, w_mlp = _split_weights(weights)
     if not bias_rows:
         shared_bias = bias_ref[...][None]
     n_mc = acc_ref.shape[0] // mc
@@ -556,9 +573,15 @@ def _trunk_fwd_kernel(
             )
             if dropout_rate > 0.0 else None
         )
-        acc_ref[pl.ds(i * mc, mc)] = _block_chunk(
-            xs, weights, kb, nhead=nhead, act_bf16=act_bf16, eps=eps,
-            activation=activation, drop_masks=masks,
+        x1 = _attn_residual(
+            xs, w_attn, kb, nhead=nhead, act_bf16=act_bf16, eps=eps,
+            drop_masks=None if masks is None else masks[:2],
+        )
+        if save_x1:
+            saved1_ref[0, pl.ds(i * mc, mc)] = x1
+        acc_ref[pl.ds(i * mc, mc)] = _mlp_residual(
+            x1, w_mlp, act_bf16=act_bf16, eps=eps, activation=activation,
+            drop_masks=None if masks is None else masks[2:],
         )
         return carry
 
@@ -570,10 +593,16 @@ def _trunk_fwd_kernel(
 
 
 def _trunk_bwd_kernel(
-    saved_ref, dy_ref, bias_ref, seed_ref, *rest,
+    *refs,
     nhead: int, mc: int, act_bf16: bool, eps: float, activation: str,
     dropout_rate: float, bias_rows: bool, L: int, layer_scale: bool = False,
+    save_x1: bool = True,
 ):
+    if save_x1:
+        saved_ref, saved1_ref, dy_ref, bias_ref, seed_ref, *rest = refs
+    else:
+        saved_ref, dy_ref, bias_ref, seed_ref, *rest = refs
+        saved1_ref = None
     keys = _keys(layer_scale)
     n_w = len(keys)
     wrefs = rest[:n_w]
@@ -614,18 +643,26 @@ def _trunk_bwd_kernel(
 
     # The block backward runs as TWO passes over the micro-chunks — MLP
     # half first (storing the intermediate cotangent dx1 in the dyacc
-    # scratch), then the attention half.  Both halves REMATERIALIZE their
-    # forward from the saved block input and use the HAND-DERIVED VJPs
-    # (_mlp_residual_bwd / _attn_residual_bwd): in-kernel jax.vjp kept all
-    # heads' softmax residuals + the FF hidden and their transposes live
-    # at once and could not compile on a 128 MB-VMEM chip (measured
-    # 137.68M even at sub-production shapes).  Gradients come back as
-    # dicts keyed by weight name — key_index routes them to the partial
-    # outputs, so the _WEIGHT_KEYS layout cannot silently drift.  Cost of
-    # the two-pass split: one extra attention forward per block (~+12%
-    # trunk FLOPs), well inside the MXU headroom.
+    # scratch), then the attention half.  When ``save_x1`` the MLP half
+    # reads the forward's SAVED post-attention intermediate x1 (saved1_ref)
+    # — re-running the full attention forward here measured ~35 ms/step at
+    # ViT reference scale, far above the ~3 ms of extra HBM traffic saving
+    # x1 costs; without it (the denoiser flavor: its saved1 VMEM windows at
+    # bchunk=256 pushed the scoped stack to 119.9M > 118M at the full
+    # production grid while the attention it would spare is tiny at N=16)
+    # the MLP half rematerializes x1 from the saved block input as before.
+    # The attention half always rematerializes from the saved block input.
+    # Both halves use the HAND-DERIVED VJPs (_mlp_residual_bwd /
+    # _attn_residual_bwd): in-kernel jax.vjp kept all heads' softmax
+    # residuals + the FF hidden and their transposes live at once and could
+    # not compile on a 128 MB-VMEM chip (measured 137.68M even at
+    # sub-production shapes).  Gradients come back as dicts keyed by weight
+    # name — key_index routes them to the partial outputs, so the
+    # _WEIGHT_KEYS layout cannot silently drift.  Dropout masks: the MLP
+    # half draws the full site sequence and uses the trailing MLP sites,
+    # keeping the draw-order contract (_DROP_SITES) unchanged even when
+    # the attention masks themselves go unused.
     def mlp_step(i, carry):
-        xs = saved_ref[0, pl.ds(i * mc, mc)]
         dys = dyacc_ref[pl.ds(i * mc, mc)]
         masks = (
             _gen_drop_masks(
@@ -634,10 +671,14 @@ def _trunk_bwd_kernel(
             )
             if dropout_rate > 0.0 else None
         )
-        x1 = _attn_residual(
-            xs, w_attn, _kb(i), nhead=nhead, act_bf16=act_bf16, eps=eps,
-            drop_masks=None if masks is None else masks[:2],
-        )
+        if save_x1:
+            x1 = saved1_ref[0, pl.ds(i * mc, mc)]
+        else:
+            x1 = _attn_residual(
+                saved_ref[0, pl.ds(i * mc, mc)], w_attn, _kb(i),
+                nhead=nhead, act_bf16=act_bf16, eps=eps,
+                drop_masks=None if masks is None else masks[:2],
+            )
         dx1, gd = _mlp_residual_bwd(
             x1, dys, w_mlp, act_bf16=act_bf16, eps=eps,
             activation=activation,
@@ -730,7 +771,7 @@ def _pad_bias(mask_bias, N, N_pad, B=None, B_pad=None):
 
 _STATIC_NAMES = (
     "nhead", "bchunk", "mc", "act_bf16", "interpret", "eps", "activation",
-    "dropout_rate", "bias_rows", "layer_scale",
+    "dropout_rate", "bias_rows", "layer_scale", "save_x1",
 )
 
 # Scoped-VMEM budget handed to Mosaic.  The v5e has 128 MiB of VMEM; leave
@@ -740,11 +781,26 @@ _STATIC_NAMES = (
 # though the program fits the chip comfortably.
 _VMEM_LIMIT = 118 * 1024 * 1024
 
+# Scoped allocation is not perfectly grid-size independent: the round-5
+# save-x1 denoiser experiment compiled at the probes' 2x2 grid but failed
+# at the production 12x8 grid by 1.91M (119.91M vs the 118M cap).  The
+# probes therefore compile with THIS margin subtracted (via the env var,
+# set around the probe compile only — ops/train_probe.py), so a
+# probe-passing config has at least the observed grid-effect headroom.
+_PROBE_MARGIN_ENV = "POSEDIFFUSION_TRAIN_VMEM_MARGIN"
+
+
+def _vmem_limit():
+    import os
+
+    return _VMEM_LIMIT - int(os.environ.get(_PROBE_MARGIN_ENV, "0") or 0)
+
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _fwd_call(
     x, stacks, bias, seed, nhead, bchunk, mc, act_bf16, interpret,
     eps, activation, dropout_rate, bias_rows, layer_scale=False,
+    save_x1=True,
 ):
     keys = _keys(layer_scale)
     if bchunk % mc != 0:
@@ -760,17 +816,22 @@ def _fwd_call(
     kernel = functools.partial(
         _trunk_fwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
         activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
-        layer_scale=layer_scale,
+        layer_scale=layer_scale, save_x1=save_x1,
     )
     bias_spec = (
         pl.BlockSpec((bchunk, N_pad), lambda c, l: (c, 0), memory_space=pltpu.VMEM)
         if bias_rows
         else pl.BlockSpec((N_pad, N_pad), lambda c, l: (0, 0), memory_space=pltpu.VMEM)
     )
-    saved, y = pl.pallas_call(
+    saved_spec = pl.BlockSpec(
+        (1, bchunk, N_pad, D), lambda c, l: (l, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    saved_shape = jax.ShapeDtypeStruct((L, B_pad, N_pad, D), rdtype)
+    n_saved = 2 if save_x1 else 1
+    *saved_outs, y = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((L, B_pad, N_pad, D), rdtype),
+        out_shape=(saved_shape,) * n_saved + (
             jax.ShapeDtypeStruct((B_pad, N_pad, D), rdtype),
         ),
         grid=(B_pad // bchunk, L),
@@ -783,11 +844,7 @@ def _fwd_call(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         + _weight_specs(stacks, _layer_block, keys),
-        out_specs=(
-            pl.BlockSpec(
-                (1, bchunk, N_pad, D), lambda c, l: (l, c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=(saved_spec,) * n_saved + (
             pl.BlockSpec(
                 (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -796,17 +853,20 @@ def _fwd_call(
         scratch_shapes=[pltpu.VMEM((bchunk, N_pad, D), rdtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
     )(x, bias, seed, *[stacks[k] for k in keys])
-    return saved, y
+    saved = saved_outs[0]
+    saved1 = saved_outs[1] if save_x1 else None
+    return saved, saved1, y
 
 
 @functools.partial(jax.jit, static_argnames=_STATIC_NAMES)
 def _bwd_call(
-    saved, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
+    saved, saved1, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
     interpret, eps, activation, dropout_rate, bias_rows, layer_scale=False,
+    save_x1=True,
 ):
     keys = _keys(layer_scale)
     L, B_pad, N_pad, D = saved.shape
@@ -816,7 +876,7 @@ def _bwd_call(
     kernel = functools.partial(
         _trunk_bwd_kernel, nhead=nhead, mc=mc, act_bf16=act_bf16, eps=eps,
         activation=activation, dropout_rate=dropout_rate, bias_rows=bias_rows,
-        L=L, layer_scale=layer_scale,
+        L=L, layer_scale=layer_scale, save_x1=save_x1,
     )
     rev = functools.partial(_layer_block_rev, L=L)
     bias_spec = (
@@ -837,17 +897,19 @@ def _bwd_call(
         jax.ShapeDtypeStruct((n_bc, L) + tuple(stacks[k].shape[1:]), jnp.float32)
         for k in keys
     )
+    saved_in_spec = pl.BlockSpec(
+        (1, bchunk, N_pad, D), lambda c, l: (L - 1 - l, c, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    saved_ins = (saved, saved1) if save_x1 else (saved,)
     dx, *gpartials = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B_pad, N_pad, D), rdtype),
         ) + grad_shapes,
         grid=(n_bc, L),
-        in_specs=[
-            pl.BlockSpec(
-                (1, bchunk, N_pad, D), lambda c, l: (L - 1 - l, c, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        in_specs=[saved_in_spec] * len(saved_ins)
+        + [
             pl.BlockSpec(
                 (bchunk, N_pad, D), lambda c, l: (c, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -868,10 +930,10 @@ def _bwd_call(
         scratch_shapes=[pltpu.VMEM((bchunk, N_pad, D), rdtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
-    )(saved, dy_pad, bias, seed, *[stacks[k] for k in keys])
+    )(*saved_ins, dy_pad, bias, seed, *[stacks[k] for k in keys])
     grads = {
         k: jnp.sum(g, axis=0).astype(stacks[k].dtype)
         for k, g in zip(keys, gpartials)
@@ -919,25 +981,41 @@ def fused_vit_trunk_train(
     zero gradient.
     """
     B, N, _ = x.shape
-    _, y = _fwd_call(
+    _, _, y = _fwd_call(
         x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
         act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
+        save_x1=_save_x1_for(x),
     )
     return y[:B, :N]
+
+
+def _save_x1_for(x):
+    """Save the post-attention intermediate only at bf16 residuals.
+
+    The extra saved1 VMEM windows fit comfortably there (measured on the
+    v5e at the full production grids: ViT bf16 trunk 0.219 s vs 0.267 s
+    without; denoiser bf16 0.044 s vs 0.050 s), but at f32 they push the
+    backward's scoped stack over the 118 MB cap at the full production
+    grid (ViT: 118.57M at 32 chunks x 12 layers; denoiser: 119.91M at
+    12 x 8 — round 5) — f32 keeps the attention re-forward remat instead.
+    """
+    return x.dtype == jnp.bfloat16
 
 
 def _vit_fwd(x, stacks, mask_bias, nhead, bchunk, mc, act_bf16, interpret,
              layer_scale):
     B, N, _ = x.shape
-    saved, y = _fwd_call(
+    save_x1 = _save_x1_for(x)
+    saved, saved1, y = _fwd_call(
         x, stacks, mask_bias, jnp.asarray(_ZERO_SEED), nhead, bchunk, mc,
         act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
+        save_x1=save_x1,
     )
-    return y[:B, :N], (saved, stacks, mask_bias)
+    return y[:B, :N], (saved, saved1, stacks, mask_bias)
 
 
 def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, layer_scale, res, dy):
-    saved, stacks, mask_bias = res
+    saved, saved1, stacks, mask_bias = res
     # saved.dtype == the primal x's dtype (the forward casts to x.dtype)
     B, N = dy.shape[:2]
     L, B_pad, N_pad, D = saved.shape
@@ -946,8 +1024,9 @@ def _vit_bwd(nhead, bchunk, mc, act_bf16, interpret, layer_scale, res, dy):
     )
     bias = _pad_bias(mask_bias, N, N_pad)
     dx, grads = _bwd_call(
-        saved, dy_pad, bias, jnp.asarray(_ZERO_SEED), stacks, nhead, bchunk,
-        mc, act_bf16, interpret, 1e-6, "gelu", 0.0, False, layer_scale,
+        saved, saved1, dy_pad, bias, jnp.asarray(_ZERO_SEED), stacks, nhead,
+        bchunk, mc, act_bf16, interpret, 1e-6, "gelu", 0.0, False,
+        layer_scale, save_x1=saved1 is not None,
     )
     return dx[:B, :N], grads, jnp.zeros_like(mask_bias)
 
@@ -1002,9 +1081,9 @@ def fused_encoder_trunk_train(
     sites when ``dropout_rate`` > 0).  Dropout requires the TPU PRNG —
     not available in interpret mode."""
     B, N, _ = x.shape
-    _, y = _fwd_call(
+    _, _, y = _fwd_call(
         x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16, interpret,
-        1e-5, "relu", dropout_rate, True,
+        1e-5, "relu", dropout_rate, True, save_x1=_save_x1_for(x),
     )
     return y[:B, :N]
 
@@ -1012,15 +1091,15 @@ def fused_encoder_trunk_train(
 def _enc_fwd(x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16,
              dropout_rate, interpret):
     B, N, _ = x.shape
-    saved, y = _fwd_call(
+    saved, saved1, y = _fwd_call(
         x, stacks, row_bias, seed, nhead, bchunk, mc, act_bf16, interpret,
-        1e-5, "relu", dropout_rate, True,
+        1e-5, "relu", dropout_rate, True, save_x1=_save_x1_for(x),
     )
-    return y[:B, :N], (saved, stacks, row_bias, seed)
+    return y[:B, :N], (saved, saved1, stacks, row_bias, seed)
 
 
 def _enc_bwd(nhead, bchunk, mc, act_bf16, dropout_rate, interpret, res, dy):
-    saved, stacks, row_bias, seed = res
+    saved, saved1, stacks, row_bias, seed = res
     B, N = dy.shape[:2]
     L, B_pad, N_pad, D = saved.shape
     dy_pad = jnp.pad(
@@ -1028,8 +1107,9 @@ def _enc_bwd(nhead, bchunk, mc, act_bf16, dropout_rate, interpret, res, dy):
     )
     bias = _pad_bias(row_bias, N, N_pad, B=B, B_pad=B_pad)
     dx, grads = _bwd_call(
-        saved, dy_pad, bias, seed, stacks, nhead, bchunk, mc, act_bf16,
-        interpret, 1e-5, "relu", dropout_rate, True,
+        saved, saved1, dy_pad, bias, seed, stacks, nhead, bchunk, mc,
+        act_bf16, interpret, 1e-5, "relu", dropout_rate, True,
+        save_x1=saved1 is not None,
     )
     ct_seed = np.zeros(np.shape(seed), dtype=jax.dtypes.float0)
     return dx[:B, :N], grads, jnp.zeros_like(row_bias), ct_seed

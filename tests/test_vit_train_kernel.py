@@ -147,6 +147,40 @@ class TestFusedVitTrunkTrain:
                 err_msg=jax.tree_util.keystr(k),
             )
 
+    def test_bf16_residuals_save_x1_grads_close(self, rng):
+        """bf16 RESIDUALS (the production extractor dtype) engage the
+        saved-x1 backward (_save_x1_for) — the MLP half reads the saved
+        post-attention intermediate instead of rematerializing it.  Grads
+        must still match Flax autodiff at bf16-rounding tolerance, and the
+        saved-x1 route must agree with the f32 remat route's math."""
+        from posediffusion_tpu.ops.vit_train_kernel import _save_x1_for
+
+        vit, params, x, r = self._make(rng)
+        xb = x.astype(jnp.bfloat16)
+        assert _save_x1_for(xb) and not _save_x1_for(x)
+        ref_g = jax.grad(self._flax_loss(vit, x, r))(params)
+
+        def loss(params):
+            stacks = stack_vit_params(
+                params["params"], vit.depth, weight_dtype=jnp.float32
+            )
+            y = fused_vit_trunk_train(
+                xb, stacks, _zero_bias(x.shape[1]),
+                vit.num_heads, 2, 1, True, True,
+            )
+            return jnp.sum(y.astype(jnp.float32) * r)
+
+        fused_g = jax.grad(loss)(params)
+        for (k, v), (_, w) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(fused_g),
+        ):
+            scale = max(1.0, float(jnp.max(jnp.abs(v))))
+            np.testing.assert_allclose(
+                np.asarray(w), np.asarray(v), atol=0.07 * scale,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
     def test_extractor_train_path_matches_flax_extractor(self, rng):
         # end-to-end: patch embed + pos + packed trunk + CLS head, value AND
         # grads w.r.t. the full extractor variables
@@ -285,6 +319,52 @@ class TestFusedVitTrunkTrain:
                 np.asarray(w), np.asarray(v), atol=5e-5 * scale,
                 err_msg=jax.tree_util.keystr(k),
             )
+
+    def test_encoder_trunk_bf16_residuals_save_x1(self, rng, monkeypatch):
+        """bf16 residuals engage save-x1 in the ENCODER flavor too
+        (production denoiser_dtype=bfloat16).  The saved-x1 backward must
+        match the remat backward to bf16-ULP scale: the stored x1 is the
+        remat value rounded once more to bf16 (XLA's excess-precision pass
+        keeps the in-kernel x1 wider than the materialized store), so the
+        routes agree to ~2^-8 relative except where that ULP flips a ReLU
+        active-set member (isolated elements with O(contribution) jumps) —
+        so the guard is statistical: a wrong saved1 layer/chunk would put
+        EVERY element off at O(scale), kink flips only a few."""
+        from posediffusion_tpu.models.layers import TransformerEncoder
+        from posediffusion_tpu.ops import vit_train_kernel as vtk
+
+        d, nhead, L, B, N = 64, 2, 2, 5, 6
+        enc = TransformerEncoder(
+            d_model=d, nhead=nhead, num_encoder_layers=L,
+            dim_feedforward=2 * d,
+        )
+        x = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        xb = x.astype(jnp.bfloat16)
+        assert vtk._save_x1_for(xb) and not vtk._save_x1_for(x)
+        r = jnp.asarray(rng.normal(size=(B, N, d)).astype(np.float32))
+        variables = enc.init(jax.random.PRNGKey(0), x)
+        row_bias = jnp.zeros((B, N), jnp.float32)
+        seed = jnp.zeros((1,), jnp.int32)
+
+        def fused_loss(v):
+            stacks = vtk.stack_encoder_trunk_params(v["params"], L)
+            y = vtk.fused_encoder_trunk_train(
+                xb, stacks, row_bias, seed, nhead, 4, 2, True, 0.0, True
+            )
+            return jnp.sum(y.astype(jnp.float32) * r)
+
+        g_saved = jax.grad(fused_loss)(variables)
+        monkeypatch.setattr(vtk, "_save_x1_for", lambda _: False)
+        g_remat = jax.grad(fused_loss)(variables)
+
+        rel = []
+        for a, b in zip(jax.tree.leaves(g_saved), jax.tree.leaves(g_remat)):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(1.0, float(np.abs(b).max()))
+            rel.append((np.abs(a - b) / scale).ravel())
+        rel = np.concatenate(rel)
+        assert rel.mean() <= 2e-3
+        assert (rel > 0.05).mean() <= 0.02
 
     def test_denoiser_train_apply_matches_flax_denoiser(self, rng):
         """Full denoiser train path (embeddings + trunk kernel + head) vs
