@@ -27,8 +27,11 @@ import time
 import numpy as np
 
 BASELINE_SECONDS = 1.0  # low end of the reference's 1-3 s/it
-# f32 matches the reference's numerics (default); bfloat16 runs the ViT
-# blocks on the MXU fast path (0.79 vs 1.04 s/it measured on one v5e)
+# f32 matches the reference's numerics (default); bfloat16 selects bf16
+# residuals, which also unlocks the saved-x1 backward + mc=8 tiling
+# (0.302 vs 0.350 s/it measured on one v5e at round-5 HEAD; both dtypes
+# run all matmuls as bf16 MXU passes with f32 accumulation, and
+# experiments/synthetic_learnability.py shows equal pose accuracy)
 COMPUTE_DTYPE = os.environ.get("POSEDIFFUSION_BENCH_DTYPE", "float32")
 N_SEQS = 32
 N_FRAMES = 16  # 32 x 16 = 512 images = reference max_images
@@ -48,7 +51,6 @@ def main():
     from posediffusion_tpu.models import PoseDiffusionConfig, PoseDiffusionModel
     from posediffusion_tpu.training import (
         TrainState,
-        jit_train_step,
         make_optimizer,
         make_train_step,
     )
@@ -61,9 +63,6 @@ def main():
         lr=1e-4, T_0=50, iters_per_epoch=16384, clip_grad=1.0
     )
     state = TrainState.create(params, optimizer)
-    step_fn = jit_train_step(
-        make_train_step(model, optimizer, batch_repeat=BATCH_REPEAT)
-    )
 
     rng = np.random.default_rng(0)
     batch = {
@@ -77,19 +76,37 @@ def main():
         ),
     }
 
-    # sync via device_get of a scalar: on the relay tunnel
-    # block_until_ready does not reliably block (see KERNELS.md); the
-    # ~30 ms round-trip floor is noise against a ~0.5-1 s step
+    # R steps chained inside ONE program (state carried through the loop),
+    # like every other bench here: each host-synchronized dispatch pays a
+    # ~20-30 ms relay round trip (KERNELS.md "Measuring on relay-attached
+    # TPUs") that is harness artifact, not device step time.  The
+    # --breakdown mode reports the single-dispatch step separately
+    # (full_step_dispatched_s) for the per-dispatch view.
+    raw_step = make_train_step(model, optimizer, batch_repeat=BATCH_REPEAT)
+    R = 4
+
+    @jax.jit
+    def step_chain(state, batch, key):
+        def body(i, carry):
+            st, _ = carry
+            st, m = raw_step(st, batch, jax.random.fold_in(key, i))
+            return st, m["loss"]
+        _, loss = jax.lax.fori_loop(0, R, body, (state, 0.0))
+        return loss
+
     for i in range(WARMUP):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
-        assert np.isfinite(float(metrics["loss"]))
+        loss = float(jax.device_get(
+            step_chain(state, batch, jax.random.PRNGKey(i))
+        ))
+        assert np.isfinite(loss)
 
     times = []
     for i in range(REPEATS):
         t0 = time.perf_counter()
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(100 + i))
-        loss = float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
+        loss = float(jax.device_get(
+            step_chain(state, batch, jax.random.PRNGKey(100 + i))
+        ))
+        times.append((time.perf_counter() - t0) / R)
     assert np.isfinite(loss)
 
     value = float(np.median(times))

@@ -177,12 +177,15 @@ class PoseDiffusionModel:
     def extract_features(
         self, params, images: jnp.ndarray, fused: bool = False,
         fused_train: bool = False, interpret: bool = False,
+        vit_mc: Optional[int] = None,
     ) -> jnp.ndarray:
         """(B, N, 3, H, W) -> (B, N, z_dim) via the shared ViT.
 
         ``fused`` routes the trunk through the single-kernel Pallas path
         (inference; plain dino ViT backbones only); ``fused_train`` through
         the differentiable train-path kernel pair (fwd + custom-VJP bwd).
+        ``vit_mc`` overrides the auto micro-chunk (the loss path passes the
+        probe-validated value so routing and execution cannot diverge).
         """
         B, N = images.shape[:2]
         flat = images.reshape(B * N, *images.shape[2:])
@@ -201,7 +204,7 @@ class PoseDiffusionModel:
                 pos_grid=37 if is_v2 else 14,
                 act_bf16=(c.compute_dtype == "bfloat16"),
                 residual_dtype=jnp.dtype(c.compute_dtype),
-                bchunk=c.vit_train_bchunk, mc=_effective_vit_mc(c),
+                bchunk=c.vit_train_bchunk, mc=vit_mc or _effective_vit_mc(c),
                 interpret=interpret,
                 layer_scale=is_v2,
             )
@@ -265,6 +268,7 @@ class PoseDiffusionModel:
         # fall back to the Flax trunks on failure (warning, not crash):
         # a Mosaic VMEM overflow must never take down train.py.  See
         # ops/train_probe.py; POSEDIFFUSION_FUSED_TRAIN_PROBE=on skips.
+        vit_mc = _effective_vit_mc(c)
         if fused_extract and not interpret:
             from posediffusion_tpu.ops.train_probe import (
                 packed_token_count,
@@ -277,11 +281,21 @@ class PoseDiffusionModel:
                 int(images.shape[-2]), int(images.shape[-1]),
                 c.scale_factors, ps,
             )
-            fused_extract = vit_train_kernel_ok(
-                n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
-                c.vit_train_bchunk, _effective_vit_mc(c),
-                c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
-            )
+            # Probe-cascade the micro-chunk: the auto mc=8 is tuned for
+            # 224px packed tokens; at larger inputs (336px Re10K scale)
+            # its attention temporaries can overflow the scoped-VMEM cap,
+            # where mc=4 still fits — step down before giving up the
+            # fused path entirely.
+            candidates = [vit_mc] + ([4] if vit_mc > 4 else [])
+            fused_extract = False
+            for mc_try in candidates:
+                if vit_train_kernel_ok(
+                    n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
+                    c.vit_train_bchunk, mc_try,
+                    c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
+                ):
+                    fused_extract, vit_mc = True, mc_try
+                    break
         if fused_denoiser and not interpret:
             from posediffusion_tpu.ops.train_probe import (
                 encoder_train_kernel_ok,
@@ -294,7 +308,8 @@ class PoseDiffusionModel:
                 c.dropout if train else 0.0, c.denoiser_dtype,
             )
         z = self.extract_features(
-            params, images, fused_train=fused_extract, interpret=interpret
+            params, images, fused_train=fused_extract, interpret=interpret,
+            vit_mc=vit_mc,
         )
         if self.config.freeze_extractor:
             # reference freeze option (image_feature_extractor.py:50-52):
