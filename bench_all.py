@@ -14,26 +14,34 @@ import json
 import subprocess
 import sys
 
+# (argv, label, extra-env) — extra-env is merged into the subprocess env
 BENCHES = [
-    (["bench.py"], "20-frame inference, no GGS"),
-    (["bench.py", "--ddim", "10"], "20-frame inference, DDIM-10, no GGS"),
-    (["bench.py", "--image-size", "336"], "20-frame inference @336px (Re10K)"),
-    (["bench_ggs.py"], "20-frame inference, with GGS"),
-    (["bench_matching.py"], "20-frame match extraction"),
-    (["bench_train.py"], "reference-scale train step"),
+    (["bench.py"], "20-frame inference, no GGS", {}),
+    (["bench.py", "--ddim", "10"], "20-frame inference, DDIM-10, no GGS", {}),
+    (["bench.py", "--image-size", "336"], "20-frame inference @336px (Re10K)", {}),
+    (["bench_ggs.py"], "20-frame inference, with GGS", {}),
+    (["bench_matching.py"], "20-frame match extraction", {}),
+    (["bench_train.py"], "reference-scale train step (f32)", {}),
+    (["bench_train.py"], "reference-scale train step (bf16)",
+     {"POSEDIFFUSION_BENCH_DTYPE": "bfloat16"}),
 ]
 
 
 def main():
+    import os
+
     full = len(sys.argv) > 1 and sys.argv[1] == "full"
     rows = []
-    for argv, label in BENCHES:
-        script = " ".join(argv)
+    for argv, label, extra_env in BENCHES:
+        script = " ".join(
+            [f"{k}={v}" for k, v in extra_env.items()] + argv
+        )
         if not full and argv[0] == "bench_train.py":
             continue
         print(f"=== {label} ({script})", flush=True)
         proc = subprocess.run(
-            [sys.executable, *argv], capture_output=True, text=True
+            [sys.executable, *argv], capture_output=True, text=True,
+            env={**os.environ, **extra_env},
         )
         line = None
         for ln in reversed(proc.stdout.splitlines()):
