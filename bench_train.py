@@ -29,7 +29,7 @@ import numpy as np
 BASELINE_SECONDS = 1.0  # low end of the reference's 1-3 s/it
 # f32 matches the reference's numerics (default); bfloat16 selects bf16
 # residuals, which also unlocks the saved-x1 backward + mc=8 tiling
-# (0.302 vs 0.350 s/it measured on one v5e at round-5 HEAD; both dtypes
+# (0.279 vs 0.320 s/it measured on one v5e at round-5 HEAD; both dtypes
 # run all matmuls as bf16 MXU passes with f32 accumulation, and
 # experiments/synthetic_learnability.py shows equal pose accuracy)
 COMPUTE_DTYPE = os.environ.get("POSEDIFFUSION_BENCH_DTYPE", "float32")
