@@ -119,6 +119,41 @@ def main():
     assert np.isfinite(np.asarray(yb, np.float32)).all()
     print("vit bf16 production-shape: compiled + finite", flush=True)
 
+    # ---- bf16 residuals: the saved-x1 backward (production fast path)
+    # must agree with the forced-remat backward ON CHIP.  The stored x1 is
+    # the remat value rounded once more to bf16, so agreement is
+    # statistical (isolated GELU/ReLU-kink elements may jump); a wrong
+    # saved1 layer/chunk would put every element off at O(scale).
+    from posediffusion_tpu.ops import vit_train_kernel as _vtk
+
+    assert _vtk._save_x1_for(xp.astype(jnp.bfloat16))
+
+    def vit_grad_bf16():
+        def loss(xx):
+            y = fused_vit_trunk_train(
+                xx, stacks_p, bias_p, 6, 8, 4, True, False
+            )
+            return jnp.sum(y.astype(jnp.float32))
+
+        return jax.jit(jax.grad(loss))(xp.astype(jnp.bfloat16))
+
+    g_saved = np.asarray(vit_grad_bf16(), np.float32)
+    orig_gate = _vtk._save_x1_for
+    _vtk._save_x1_for = lambda _: False
+    try:
+        g_remat = np.asarray(vit_grad_bf16(), np.float32)
+    finally:
+        _vtk._save_x1_for = orig_gate
+    sc = max(1.0, float(np.abs(g_remat).max()))
+    rel = np.abs(g_saved - g_remat) / sc
+    print(
+        f"vit bf16 saved-x1 vs remat backward: mean rel {rel.mean():.2e} "
+        f"frac>5% {float((rel > 0.05).mean()):.3f}",
+        flush=True,
+    )
+    assert rel.mean() <= 2e-3 and (rel > 0.05).mean() <= 0.02, \
+        "saved-x1 route disagrees with remat route on chip"
+
     # ---- denoiser flavor vs Flax encoder (production widths, default
     # precision — the f32-exact math is pinned by the small-width ViT check
     # above plus the CPU interpret suite; widths here are what train runs)
@@ -203,6 +238,39 @@ def main():
     )
     assert rel < 1e-2, "dropout backward mask regeneration FAILED"
     assert np.isfinite(np.asarray(g)).all()
+
+    # ---- encoder flavor at bf16 residuals WITH dropout: the saved-x1
+    # backward (production denoiser_dtype=bfloat16) vs the forced-remat
+    # backward, same seed — diverges unless the MLP half's full-sequence
+    # mask draws stay aligned with the attention half's only_attn draws
+    # while the saved x1 replaces the attention recompute.
+    x3b = x3.astype(jnp.bfloat16)
+    assert _vtk._save_x1_for(x3b)
+
+    def enc_grad_bf16():
+        def loss(xx):
+            y = fused_encoder_trunk_train(
+                xx, st3, rb3, seed_d, nh3, 8, 4, True, 0.1, False
+            )
+            return jnp.sum(jnp.tanh(y.astype(jnp.float32)))
+
+        return jax.jit(jax.grad(loss))(x3b)
+
+    eg_saved = np.asarray(enc_grad_bf16(), np.float32)
+    _vtk._save_x1_for = lambda _: False
+    try:
+        eg_remat = np.asarray(enc_grad_bf16(), np.float32)
+    finally:
+        _vtk._save_x1_for = orig_gate
+    esc = max(1.0, float(np.abs(eg_remat).max()))
+    erel = np.abs(eg_saved - eg_remat) / esc
+    print(
+        f"denoiser bf16+dropout saved-x1 vs remat backward: mean rel "
+        f"{erel.mean():.2e} frac>5% {float((erel > 0.05).mean()):.3f}",
+        flush=True,
+    )
+    assert erel.mean() <= 2e-3 and (erel > 0.05).mean() <= 0.02, \
+        "encoder saved-x1 route disagrees with remat route on chip"
     print("TPU SMOKE OK", flush=True)
 
 
