@@ -109,6 +109,38 @@ def _effective_vit_mc(c: "PoseDiffusionConfig") -> int:
     return 8 if c.compute_dtype == "bfloat16" else 4
 
 
+def _probe_vit_mc(c: "PoseDiffusionConfig", H: int, W: int, B: int):
+    """Compile-probe the fused ViT train trunk AT THE REAL GRID, cascading
+    the micro-chunk downward before giving up: the auto mc=8 is tuned for
+    224px packed tokens; at larger inputs its attention temporaries
+    overflow the scoped-VMEM cap where a smaller mc still fits.  The probe
+    grid matters: Mosaic's scoped allocation grows with grid size near the
+    cap (round 5: a 2x2-grid probe approved 336px/mc=2 that failed by
+    3.7M at the production 32x12 grid), so the real depth and
+    ceil(B/bchunk) are passed through.  Returns the first probe-passing
+    mc, or None when no candidate compiles (callers fall back to the Flax
+    trunk)."""
+    from posediffusion_tpu.ops.train_probe import (
+        packed_token_count,
+        vit_train_kernel_ok,
+    )
+
+    is_v2 = "dinov2" in c.modelname
+    ps = 14 if is_v2 else c.patch_size
+    n_tok = packed_token_count(H, W, c.scale_factors, ps)
+    n_bc = max(2, -(-B // c.vit_train_bchunk))
+    vit_mc = _effective_vit_mc(c)
+    for mc_try in [vit_mc] + [m for m in (4, 2) if m < vit_mc]:
+        if vit_train_kernel_ok(
+            n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
+            c.vit_train_bchunk, mc_try,
+            c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
+            depth=c.vit_depth, batch_chunks=n_bc,
+        ):
+            return mc_try
+    return None
+
+
 def _batched_step_ok(c: "PoseDiffusionConfig", N: int) -> bool:
     """Probe gate for the batched (B > 1) eval sampler's per-step fused
     encoder trunk (256/32 are denoiser_train_apply's default bchunk/mc,
@@ -270,32 +302,11 @@ class PoseDiffusionModel:
         # ops/train_probe.py; POSEDIFFUSION_FUSED_TRAIN_PROBE=on skips.
         vit_mc = _effective_vit_mc(c)
         if fused_extract and not interpret:
-            from posediffusion_tpu.ops.train_probe import (
-                packed_token_count,
-                vit_train_kernel_ok,
+            vit_mc = _probe_vit_mc(
+                c, int(images.shape[-2]), int(images.shape[-1]),
+                int(images.shape[0] * images.shape[1]),
             )
-
-            is_v2 = "dinov2" in c.modelname
-            ps = 14 if is_v2 else c.patch_size
-            n_tok = packed_token_count(
-                int(images.shape[-2]), int(images.shape[-1]),
-                c.scale_factors, ps,
-            )
-            # Probe-cascade the micro-chunk: the auto mc=8 is tuned for
-            # 224px packed tokens; at larger inputs (336px Re10K scale)
-            # its attention temporaries can overflow the scoped-VMEM cap,
-            # where mc=4 still fits — step down before giving up the
-            # fused path entirely.
-            candidates = [vit_mc] + ([4] if vit_mc > 4 else [])
-            fused_extract = False
-            for mc_try in candidates:
-                if vit_train_kernel_ok(
-                    n_tok, c.z_dim, 4 * c.z_dim, c.vit_heads,
-                    c.vit_train_bchunk, mc_try,
-                    c.compute_dtype == "bfloat16", is_v2, c.compute_dtype,
-                ):
-                    fused_extract, vit_mc = True, mc_try
-                    break
+            fused_extract = vit_mc is not None
         if fused_denoiser and not interpret:
             from posediffusion_tpu.ops.train_probe import (
                 encoder_train_kernel_ok,

@@ -286,6 +286,42 @@ class TestTrainStep:
         train_probe.vit_train_kernel_ok.cache_clear()
         train_probe.encoder_train_kernel_ok.cache_clear()
 
+    def test_vit_mc_probe_cascade_steps_down(self, monkeypatch):
+        """_probe_vit_mc must step the micro-chunk 8 -> 4 -> 2 when larger
+        values fail the compile probe (the 336px/593-token case, where
+        mc=8/4 overflow scoped VMEM but mc=2 fits on the v5e), and return
+        None only when every candidate fails."""
+        from posediffusion_tpu.models import pose_diffusion as pd
+        from posediffusion_tpu.ops import train_probe
+
+        cfg = pd.PoseDiffusionConfig(compute_dtype="bfloat16")
+        assert pd._effective_vit_mc(cfg) == 8
+        tried, grids = [], []
+
+        def fake_ok(n_tok, D, F, nhead, bchunk, mc, *rest, **kw):
+            tried.append(mc)
+            grids.append((kw.get("depth"), kw.get("batch_chunks")))
+            return mc == 2
+
+        monkeypatch.setattr(train_probe, "vit_train_kernel_ok", fake_ok)
+        assert pd._probe_vit_mc(cfg, 336, 336, B=512) == 2
+        assert tried == [8, 4, 2]
+        # the probe must see the REAL grid (Mosaic scoped VMEM grows with
+        # grid size near the cap): depth 12, ceil(512/16) = 32 chunks
+        assert grids == [(12, 32)] * 3
+
+        monkeypatch.setattr(
+            train_probe, "vit_train_kernel_ok", lambda *a, **k: False
+        )
+        assert pd._probe_vit_mc(cfg, 336, 336, B=512) is None
+
+        # f32 auto (mc=4) cascades only downward: 4 -> 2
+        tried.clear()
+        monkeypatch.setattr(train_probe, "vit_train_kernel_ok", fake_ok)
+        cfg_f32 = pd.PoseDiffusionConfig()
+        assert pd._probe_vit_mc(cfg_f32, 336, 336, B=512) == 2
+        assert tried == [4, 2]
+
     def test_probe_executes_eagerly_under_jit_trace(self):
         """The probe is consulted at trace time of the jitted train step.
         _run_probe must escape the ambient trace (it probes on a fresh
